@@ -1,0 +1,337 @@
+"""Shared harness logic for the CLI entry points.
+
+Reproduces the flag surface and training semantics of the reference harnesses
+(eval/q_and_v_eval.py, eval/q_only_eval.py, eval/v_only_*_eval.py and their
+*_test counterparts) on the jitted TPU train/eval steps:
+
+- per-epoch loop with running-loss prints every --stats_after_every iterations,
+- torch-format epoch summary lines (loss normalized by example count, hits,
+  weighted/micro F1),
+- per-class accuracy dict printed for val/test (eval/q_and_v_eval.py:216-217),
+- epoch-stamped checkpoints with optimizer state and train F1 metadata,
+- MAC extras: elementwise grad clamp and the epoch-0 lr/10 warmup,
+- test mode: last-batch padding + slicing, t_/p_/q_ prediction dumps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pprint as pp
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videonavqa_tpu.data import BatchLoader, DataPaths, VNQADataset, load_json
+from videonavqa_tpu.models import ModelConfig, get_model
+from videonavqa_tpu.train import metrics as M
+from videonavqa_tpu.train.step import (
+    make_eval_step, make_optimizer, make_train_step, set_learning_rate,
+)
+from videonavqa_tpu.utils import checkpoint as ckpt
+from videonavqa_tpu.utils import constants as C
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--data_dir", type=str, default="../data/",
+                        help="dataset root (replaces the hardcoded BASE_DIR, eval/utils.py:6)")
+    parser.add_argument("--num_classes", type=int, default=C.NUM_CLASSES)
+    parser.add_argument("--vocab_size", type=int, default=C.VOCAB_SIZE)
+    parser.add_argument("--checkpoint_path", type=str)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    return parser
+
+
+def build_q_and_v_parser():
+    """Flag surface of eval/q_and_v_eval.py:29-66."""
+    parser = argparse.ArgumentParser()
+    add_common_args(parser)
+    parser.add_argument("--model", type=str,
+                        choices=["concat2d", "concat3d", "film_gp_pt", "film_attn_pt",
+                                 "mac", "time_multi_hop"])
+    parser.add_argument("--q_encoder", type=str, choices=["lstm", "bow"], default="lstm")
+    parser.add_argument("--use_obj_detector", type=lambda s: s.lower() != "false", default=True)
+    parser.add_argument("--use_visual_features", type=lambda s: s.lower() != "false", default=True)
+    parser.add_argument("--embed_size", type=int, default=128)
+    parser.add_argument("--hidden_size", type=int, default=128)
+    parser.add_argument("--at_hidden_size", type=int, default=128)
+    parser.add_argument("--num_res_blocks", type=int, default=1)
+    parser.add_argument("--num_res_block_channels", type=int, default=512)
+    parser.add_argument("--num_input_channels", type=int, default=512)
+    parser.add_argument("--num_tail_channels", type=int, default=16)
+    parser.add_argument("--mac_dim", type=int, default=512)
+    parser.add_argument("--mac_max_step", type=int, default=12)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--clip_value", type=float, default=1.0)
+    parser.add_argument("--l_rate", type=float, default=1e-4)
+    parser.add_argument("--loss_reduction", type=str, default="mean",
+                        choices=["sum", "mean", "elementwise_mean"])
+    parser.add_argument("--num_epochs", type=int, default=1)
+    parser.add_argument("--use_class_weights", type=lambda s: s.lower() == "true", default=False)
+    parser.add_argument("--frcnn_pretrained_path", type=str)
+    parser.add_argument("--stats_after_every", type=int, default=400)
+    parser.add_argument("--val_only", type=lambda s: s.lower() == "true", default=False)
+    return parser
+
+
+def cfg_from_args(args, model_name):
+    return ModelConfig(
+        model=model_name,
+        num_classes=args.num_classes,
+        vocab_size=args.vocab_size,
+        q_encoder=getattr(args, "q_encoder", "lstm"),
+        embed_size=getattr(args, "embed_size", 128),
+        hidden_size=getattr(args, "hidden_size", 128),
+        at_hidden_size=getattr(args, "at_hidden_size", 128),
+        num_res_blocks=getattr(args, "num_res_blocks", 1),
+        num_res_block_channels=getattr(args, "num_res_block_channels", 512),
+        num_input_channels=getattr(args, "num_input_channels", 512),
+        num_tail_channels=getattr(args, "num_tail_channels", 16),
+        mac_dim=getattr(args, "mac_dim", 512),
+        mac_max_step=getattr(args, "mac_max_step", 12),
+        compute_dtype=args.compute_dtype,
+    )
+
+
+def load_stem(args, paths: DataPaths):
+    """Frozen stem params: imported from vgg16_caffe.pth / obj_detect.pt when
+    available, else a seeded random init (synthetic-data runs)."""
+    from videonavqa_tpu.stem import init_obj_detector, init_vgg_partial, stem_features
+    from videonavqa_tpu.utils import torch_import as ti
+
+    key = jax.random.PRNGKey(1234)
+    frcnn_path = getattr(args, "frcnn_pretrained_path", None)
+    if frcnn_path and os.path.exists(frcnn_path):
+        vgg_params = ti.import_vgg_partial(ti.load_torch_state_dict(frcnn_path, key=None))
+    else:
+        print("=> No VGG-16 weights found - using random frozen stem")
+        vgg_params = init_vgg_partial(key)
+    if os.path.exists(paths.obj_detector_file):
+        det_params, det_state = ti.import_obj_detector(
+            ti.load_torch_state_dict(paths.obj_detector_file))
+    else:
+        print("=> No obj_detect.pt found - using random object detector")
+        det_params, det_state = init_obj_detector(key)
+
+    def stem_fn(video):
+        return stem_features(vgg_params, det_params, det_state, video)
+
+    return stem_fn
+
+
+def prepare_batch(batch):
+    """numpy -> device; normalize video u8 -> f32/255 on device; attach a
+    validity mask excluding test-mode padding rows from the loss."""
+    num_valid = int(batch.pop("num_valid"))
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "q_id"}
+    if "video" in batch and batch["video"].dtype == jnp.uint8:
+        batch["video"] = batch["video"].astype(jnp.float32) / 255.0
+    B = batch["label"].shape[0]
+    if num_valid < B:
+        batch["valid"] = jnp.arange(B) < num_valid
+    return batch, num_valid
+
+
+class Harness:
+    def __init__(self, args, model_name, *, q_only=False, v_only=False,
+                 clip_value=None, use_stem=None):
+        self.args = args
+        self.paths = DataPaths(args.data_dir)
+        self.spec = get_model(model_name)
+        self.cfg = cfg_from_args(args, model_name)
+        self.q_only, self.v_only = q_only, v_only
+        self.clip_value = clip_value
+        self.elementwise_clamp = 1.0 if model_name == "mac" else None
+        self.model_name = model_name
+
+        split = load_json(self.paths.split_file)
+        labels = load_json(self.paths.labels_file)
+        self.split, self.labels = split, labels
+
+        self.stem_fn = None
+        use_stem = self.spec.uses_stem if use_stem is None else use_stem
+        if use_stem and getattr(args, "use_visual_features", True):
+            self.stem_fn = load_stem(args, self.paths)
+
+        self.class_weights = None
+        self.reduction = getattr(args, "loss_reduction", "mean") or "mean"
+
+    def dataset(self, part, *, q_metadata=False, deterministic=False):
+        return VNQADataset(
+            self.paths, self.split[part], self.labels, q_only=self.q_only,
+            v_only=self.v_only, q_metadata=q_metadata,
+            deterministic=deterministic, seed=self.args.seed)
+
+    def init_model(self):
+        key = jax.random.PRNGKey(self.args.seed)
+        return self.spec.init(key, self.cfg)
+
+    def run_epoch(self, step_fn, params, state, opt_state, loader, epoch, *,
+                  train, rng):
+        t0 = time.time()
+        total_loss, hit, num_examples = 0.0, 0, 0
+        y_pred, y_target = [], []
+        for i, np_batch in enumerate(loader.epoch(epoch)):
+            labels_np = np_batch["label"]
+            batch, num_valid = prepare_batch(np_batch)
+            rng, sub = jax.random.split(rng)
+            if train:
+                params, state, opt_state, metrics = step_fn(
+                    params, state, opt_state, batch, sub)
+            else:
+                metrics = step_fn(params, state, batch, sub)
+            preds = np.asarray(metrics["preds"])[:num_valid]
+            total_loss += float(metrics["loss"])
+            hit += int(np.sum(preds == labels_np[:num_valid]))
+            num_examples += num_valid
+            y_pred.append(preds)
+            y_target.append(labels_np[:num_valid])
+            if train and (i + 1) % self.args.stats_after_every == 0:
+                print("Average loss after %d iterations in epoch %d: %.6f"
+                      % (i + 1, epoch + 1, total_loss / max(num_examples, 1)))
+
+        y_pred = np.concatenate(y_pred) if y_pred else np.array([])
+        y_target = np.concatenate(y_target) if y_target else np.array([])
+        f1_w = M.f1_score(y_target, y_pred, average="weighted")
+        f1_micro = M.f1_score(y_target, y_pred, average="micro")
+        summary = {
+            "loss": total_loss / max(num_examples, 1), "hit": hit,
+            "num_examples": num_examples, "f1_w": f1_w, "f1_micro": f1_micro,
+            "y_pred": y_pred, "y_target": y_target,
+            "examples_per_sec": num_examples / max(time.time() - t0, 1e-9),
+        }
+        return params, state, opt_state, summary, rng
+
+    def print_val_summary(self, summary, *, header="Validation"):
+        accs = M.per_class_accuracies(
+            summary["y_target"], summary["y_pred"], self.cfg.num_classes)
+        pp.pprint({i: accs[i] for i in np.nonzero(accs)[0].tolist()})
+        print("{}:\tAverage loss: {:.6f}, Accuracy: {}/{}, F1: w{:.4f}, micro{:.4f}\n".format(
+            header, summary["loss"], summary["hit"], summary["num_examples"],
+            summary["f1_w"], summary["f1_micro"]))
+
+
+def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=None):
+    h = Harness(args, model_name, q_only=q_only, v_only=v_only, clip_value=clip_value)
+    train_ds = h.dataset("train")
+    val_ds = h.dataset("val", deterministic=True)
+    print("%d train examples, %d validation examples" % (len(train_ds), len(val_ds)))
+
+    if getattr(args, "use_class_weights", False):
+        h.class_weights = jnp.asarray(train_ds.get_class_weights(h.cfg.num_classes))
+        print("Using class weights", np.asarray(h.class_weights))
+
+    train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
+                               num_workers=args.num_workers, seed=args.seed)
+    val_loader = BatchLoader(val_ds, args.batch_size, shuffle=False, mode="val",
+                             num_workers=args.num_workers, seed=args.seed)
+
+    params, state = h.init_model()
+    optimizer = make_optimizer(args.l_rate)
+    opt_state = optimizer.init(params)
+
+    start_epoch = 0
+    if args.checkpoint_path and os.path.exists(args.checkpoint_path):
+        print("=> Restoring from checkpoint path %s" % args.checkpoint_path)
+        params, state_r, opt_r, meta = ckpt.load_checkpoint(
+            args.checkpoint_path, params_template=params,
+            state_template=state, opt_template=opt_state)
+        state = state_r if state_r is not None else state
+        opt_state = opt_r if opt_r is not None else opt_state
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print("==> Restored checkpoint %s (epoch %d)" % (args.checkpoint_path, start_epoch))
+    elif args.checkpoint_path:
+        print("=> No checkpoint existent - will save the model here")
+
+    train_step = make_train_step(
+        h.spec, h.cfg, optimizer, class_weights=h.class_weights,
+        reduction=h.reduction, clip_value=clip_value,
+        elementwise_clamp=h.elementwise_clamp, stem_fn=h.stem_fn)
+    eval_step = make_eval_step(
+        h.spec, h.cfg, class_weights=h.class_weights, reduction=h.reduction,
+        stem_fn=h.stem_fn)
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(start_epoch, start_epoch + args.num_epochs):
+        if model_name == "mac":
+            lr = args.l_rate / 10.0 if epoch == 0 else args.l_rate
+            opt_state = set_learning_rate(opt_state, lr)  # eval/q_and_v_eval.py:358-363
+            print("learning rate %.5f" % lr)
+        if not getattr(args, "val_only", False):
+            params, state, opt_state, summary, rng = h.run_epoch(
+                train_step, params, state, opt_state, train_loader, epoch,
+                train=True, rng=rng)
+            print("Train Epoch: {}\tAverage loss: {:.6f}\tAccuracy: {}/{}\t"
+                  "F1: w{:.4f}, micro{:.4f}\t({:.2f} ex/s)\n".format(
+                      epoch, summary["loss"], summary["hit"], summary["num_examples"],
+                      summary["f1_w"], summary["f1_micro"], summary["examples_per_sec"]))
+            if args.checkpoint_path:
+                ckpt.save_checkpoint(
+                    ckpt.epoch_path(args.checkpoint_path, epoch),
+                    params=params, state=state, opt_state=opt_state,
+                    meta={"epoch": epoch, "model": model_name,
+                          "train_f1w": summary["f1_w"], "train_f1micro": summary["f1_micro"]})
+        _, _, _, val_summary, rng = h.run_epoch(
+            eval_step, params, state, opt_state, val_loader, epoch, train=False, rng=rng)
+        h.print_val_summary(val_summary)
+    return params, state
+
+
+def run_test(args, model_name, *, q_only=False, v_only=False):
+    """Test-split inference + t_/p_/q_ dumps (eval/q_and_v_test.py:64-142,269-271)."""
+    h = Harness(args, model_name, q_only=q_only, v_only=v_only)
+    test_ds = h.dataset("test", q_metadata=True, deterministic=True)
+    print("%d test examples" % len(test_ds))
+    loader = BatchLoader(test_ds, args.batch_size, shuffle=False, mode="test",
+                         num_workers=args.num_workers, seed=args.seed)
+
+    params, state = h.init_model()
+    if not args.checkpoint_path or not os.path.exists(args.checkpoint_path):
+        raise SystemExit("=> Checkpoint required for testing (--checkpoint_path)")
+    params, state_r, _, meta = ckpt.load_checkpoint(
+        args.checkpoint_path, params_template=params, state_template=state)
+    state = state_r if state_r is not None else state
+    if "val_acc" in meta:
+        print("=> Restored checkpoint with val acc %s" % meta["val_acc"])
+
+    eval_step = make_eval_step(h.spec, h.cfg, class_weights=h.class_weights,
+                               reduction=h.reduction, stem_fn=h.stem_fn)
+    rng = jax.random.PRNGKey(args.seed + 2)
+    y_pred, y_target, qs = [], [], []
+    total_loss, hit, num_examples = 0.0, 0, 0
+    for np_batch in loader.epoch(0):
+        labels_np = np_batch["label"]
+        q_id = np_batch.get("q_id")
+        batch, num_valid = prepare_batch(np_batch)
+        rng, sub = jax.random.split(rng)
+        metrics = eval_step(params, state, batch, sub)
+        preds = np.asarray(metrics["preds"])[:num_valid]
+        total_loss += float(metrics["loss"])
+        hit += int(np.sum(preds == labels_np[:num_valid]))
+        # the reference counts padded rows in num_examples (:75) — preserved
+        num_examples += len(labels_np)
+        y_pred.append(preds)
+        y_target.append(labels_np[:num_valid])
+        if q_id is not None:
+            qs.append(q_id[:num_valid])
+
+    y_pred, y_target = np.concatenate(y_pred), np.concatenate(y_target)
+    qs = np.concatenate(qs) if qs else np.array([])
+    summary = {"loss": total_loss / max(num_examples, 1), "hit": hit,
+               "num_examples": num_examples,
+               "f1_w": M.f1_score(y_target, y_pred, average="weighted"),
+               "f1_micro": M.f1_score(y_target, y_pred, average="micro"),
+               "y_pred": y_pred, "y_target": y_target}
+    h.print_val_summary(summary, header="Testing")
+
+    base = os.path.basename(args.checkpoint_path)
+    out_dir = os.path.dirname(args.checkpoint_path) or "."
+    np.save(os.path.join(out_dir, "t_" + base), y_target)
+    np.save(os.path.join(out_dir, "p_" + base), y_pred)
+    np.save(os.path.join(out_dir, "q_" + base), qs)
+    return summary

@@ -1,0 +1,247 @@
+"""Host-side input pipeline.
+
+Rebuilds the reference's data loading (eval/dataset.py + DataLoader workers)
+as a threaded decode/prefetch pipeline feeding fixed-shape uint8 batches:
+
+- mp4 decode via OpenCV (BGR frames, as stored — scripts/trajectory_gen.py:163)
+  with a .npy fallback per video;
+- temporal subsampling keeps one uniformly-random frame per 4-frame bucket into
+  a fixed 35-frame zero-padded container (eval/dataset.py:80-89). The reference
+  re-randomizes at *every* epoch including eval (SURVEY §8.13); eval loaders
+  here default to per-example seeded subsampling so metrics are deterministic
+  (``deterministic=True``);
+- questions are zero-padded to 56 tokens (eval/dataset.py:94-100);
+- batches stay uint8 on the host and are normalized to /255 float on device,
+  quartering host->device bandwidth;
+- a background thread assembles batches through a decode thread pool and a
+  bounded queue (the TPU equivalent of DataLoader(num_workers=4) prefetch).
+
+Train/val iteration drops trailing partial batches (the harness skips them,
+eval/q_and_v_eval.py:86-87); test-mode pads the last batch up to batch_size and
+reports the true count (eval/q_and_v_test.py:80-87).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from videonavqa_tpu.utils import constants as C
+
+
+def load_json(path):
+    with open(path, "r") as f:
+        return json.load(f)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataPaths:
+    """Directory layout of a generated dataset (eval/utils.py:6-16), rooted at
+    a configurable base_dir instead of the reference's hardcoded '../data/'."""
+
+    base_dir: str
+
+    @property
+    def questions_dir(self):
+        return os.path.join(self.base_dir, "encoded_questions")
+
+    @property
+    def videos_dir(self):
+        return os.path.join(self.base_dir, "videos")
+
+    @property
+    def labels_file(self):
+        return os.path.join(self.base_dir, "labels.json")
+
+    @property
+    def q_ids_file(self):
+        return os.path.join(self.base_dir, "q_ids.json")
+
+    @property
+    def split_file(self):
+        return os.path.join(self.base_dir, "split.json")
+
+    @property
+    def obj_detector_file(self):
+        return os.path.join(self.base_dir, "obj_detect.pt")
+
+
+def _decode_video(path_base: str) -> np.ndarray:
+    """Decode <id>.mp4 (OpenCV) or <id>.npy into [T, H, W, 3] uint8 BGR."""
+    npy = path_base + ".npy"
+    if os.path.exists(npy):
+        return np.load(npy)
+    mp4 = path_base + ".mp4"
+    import cv2
+
+    cap = cv2.VideoCapture(mp4)
+    frames = []
+    while len(frames) < C.MAX_NUM_VIDEO_FRAMES:
+        ok, img = cap.read()
+        if not ok:
+            break
+        frames.append(img)
+    cap.release()
+    if not frames:
+        raise IOError(f"could not decode any frames from {mp4}")
+    return np.stack(frames)
+
+
+def subsample_frames(video: np.ndarray, rng: np.random.RandomState):
+    """1-of-4 random frame per bucket into a fixed 35-frame container
+    (eval/dataset.py:80-89). Returns ([35, H, W, 3] u8, v_len)."""
+    T = min(video.shape[0], C.DROP_EVERY_N_FRAMES * C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
+    out = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,) + video.shape[1:], dtype=np.uint8)
+    count = 0
+    for i in range(0, T, C.DROP_EVERY_N_FRAMES):
+        hi = min(i + C.DROP_EVERY_N_FRAMES, T) - 1
+        out[count] = video[rng.randint(i, hi + 1)]
+        count += 1
+    return out, count
+
+
+class VNQADataset:
+    """Example-level loader mirroring VNQADataset (eval/dataset.py:13-120)."""
+
+    def __init__(self, paths: DataPaths, filenames, labels, *, q_only=False,
+                 v_only=False, q_metadata=False, deterministic=False, seed=0):
+        assert not (q_only and v_only), "Can't have both question- and video-only modes!"
+        self.paths = paths
+        self.filenames = list(filenames)
+        self.labels = labels
+        self.q_only = q_only
+        self.v_only = v_only
+        self.q_metadata = q_metadata
+        self.deterministic = deterministic
+        self.seed = seed
+        self.q_ids = load_json(paths.q_ids_file) if q_metadata else None
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def _rng_for(self, filename, epoch):
+        if self.deterministic:
+            h = hash((self.seed, filename)) & 0x7FFFFFFF
+        else:
+            h = hash((self.seed, filename, epoch)) & 0x7FFFFFFF
+        return np.random.RandomState(h)
+
+    def load_example(self, index: int, epoch: int = 0):
+        filename = self.filenames[index]
+        ex = {}
+        if not self.q_only:
+            video = _decode_video(os.path.join(self.paths.videos_dir, filename))
+            rng = self._rng_for(filename, epoch)
+            ex["video"], ex["v_len"] = subsample_frames(video, rng)
+        if not self.v_only:
+            tokens = np.load(os.path.join(self.paths.questions_dir, filename + ".npy"))
+            q = np.zeros(C.MAX_Q_LEN, dtype=np.int32)
+            q[: tokens.shape[0]] = tokens
+            ex["question"] = q
+            ex["q_len"] = tokens.shape[0]
+        if self.q_metadata:
+            ex["q_id"] = self.q_ids[filename]
+        ex["label"] = self.labels[filename]
+        return ex
+
+    def get_class_weights(self, num_classes=C.NUM_CLASSES):
+        """Inverse-frequency class weights (eval/dataset.py:112-120)."""
+        classes = np.array([self.labels[f] for f in self.filenames])
+        counts = np.array([(classes == i).sum() for i in range(num_classes)], dtype=np.float64)
+        return (1.0 / np.maximum(counts, 1)).astype(np.float32)
+
+
+_PAD_QID = 35  # test-harness sentinel for padded rows (eval/q_and_v_test.py:86)
+
+
+class BatchLoader:
+    """Threaded batching with background prefetch.
+
+    modes: 'train'/'val' shuffle(optional) + drop trailing partial batch;
+    'test' pads the final batch to batch_size (label 0 / q_id 35 sentinels) and
+    sets 'num_valid' so the harness can slice the padding back off.
+    """
+
+    def __init__(self, dataset: VNQADataset, batch_size: int, *, shuffle=True,
+                 mode="train", num_workers=4, seed=0, prefetch=2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.mode = mode
+        self.num_workers = num_workers
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.mode == "test":
+            return (n + self.batch_size - 1) // self.batch_size
+        return n // self.batch_size
+
+    def _collate(self, examples, num_valid):
+        B = self.batch_size
+        batch = {}
+        keys = examples[0].keys()
+        for k in keys:
+            arrs = [np.asarray(ex[k]) for ex in examples]
+            pad = B - len(arrs)
+            if pad:
+                filler = np.zeros_like(arrs[0])
+                if k == "q_id":
+                    filler = filler + _PAD_QID
+                arrs = arrs + [filler] * pad
+            batch[k] = np.stack(arrs)
+        batch["label"] = batch["label"].astype(np.int32)
+        if "v_len" in batch:
+            batch["v_len"] = batch["v_len"].astype(np.int32)
+            if self.mode == "test":
+                # padded rows must not break masks that assume v_len >= 1
+                batch["v_len"][num_valid:] = np.maximum(batch["v_len"][num_valid:], 1)
+        if "q_len" in batch:
+            batch["q_len"] = batch["q_len"].astype(np.int32)
+            if self.mode == "test":
+                batch["q_len"][num_valid:] = np.maximum(batch["q_len"][num_valid:], 1)
+        batch["num_valid"] = np.int32(num_valid)
+        return batch
+
+    def epoch(self, epoch: int = 0):
+        """Yields collated numpy batches for one epoch."""
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState((self.seed, epoch).__hash__() & 0x7FFFFFFF).shuffle(order)
+
+        starts = range(0, len(order), self.batch_size)
+        if self.mode != "test":
+            starts = [s for s in starts if s + self.batch_size <= len(order)]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for s in starts:
+                        idxs = order[s: s + self.batch_size]
+                        examples = list(pool.map(
+                            lambda i: self.ds.load_example(int(i), epoch), idxs))
+                        q.put(self._collate(examples, len(examples)))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -1,0 +1,234 @@
+"""FiLM-conditioned models over the frozen stem: shared trunk + two tails.
+
+Reference classes: FiLMGlobalPoolingPretrainedStem
+(models/film_global_pooling_pt_stem.py) and FiLMAttnPretrainedStem
+(models/film_attn_pt_stem.py). Shared structure:
+
+  per frame: conv3x3(512->C) -> ReLU -> BN, then N residual FiLM blocks
+     res = ReLU(conv1x1(x)); y = conv3x3(res); y = ReLU(alpha*y + beta) + res
+  with (alpha, beta) generated from the question.
+
+TPU mapping:
+- the trunk's convolutions run once over the folded [B*T] frame batch (the
+  MXU-heavy path); per-frame BatchNorm semantics are preserved via
+  frame_batch_norm;
+- the reference re-encodes the question once per frame with a *carried* LSTM
+  state (film_hidden is only reset by the harness's init_hidden, so FiLM values
+  drift across the 35 frames — models/film_attn_pt_stem.py:144-181). This is
+  question-only computation, so it runs as a cheap lax.scan over frames
+  *decoupled from* the conv trunk;
+- the attention tail's -2^31 masks, zero-feature frames beyond the batch max,
+  and 35-step LSTMCell recurrence follow models/film_attn_pt_stem.py:188-301
+  exactly (see ops.masking.attn_frame_mask for the mask quirk).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from videonavqa_tpu.models.base import register_model
+from videonavqa_tpu.ops import initializers as init
+from videonavqa_tpu.ops.conv import conv2d
+from videonavqa_tpu.ops.linear import embedding, linear
+from videonavqa_tpu.ops.lstm import last_valid, lstm, lstm_cell
+from videonavqa_tpu.ops.masking import attn_frame_mask, length_mask, mask_invalid
+from videonavqa_tpu.ops.norm import frame_batch_norm, init_bn
+from videonavqa_tpu.utils import constants as C
+
+
+# ---------------------------------------------------------------------------
+# Shared FiLM machinery
+# ---------------------------------------------------------------------------
+
+def init_film_trunk(key, cfg):
+    """conv_init + bn_init + N x (conv3x3, conv1x1) — models/film_*:39-52,85-108."""
+    ch = cfg.num_res_block_channels
+    params, state = {}, {}
+    key, sub = jax.random.split(key)
+    params["conv_init"] = init.reference_conv2d(sub, 3, 3, cfg.num_input_channels, ch)
+    params["bn_init"], state["bn_init"] = init_bn(ch)
+    for k in range(cfg.num_res_blocks):
+        key, k3, k1 = jax.random.split(key, 3)
+        params[f"conv3x3_{k}"] = init.reference_conv2d(k3, 3, 3, ch, ch)
+        params[f"conv1x1_{k}"] = init.reference_conv2d(k1, 1, 1, ch, ch)
+    return params, state
+
+
+def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
+    """feats [B,T,10,13,Cin], film_values [B,T,2*C*N] -> ([B,T,10,13,C], new_state).
+
+    The residual FiLM blocks run over the folded frame batch; gamma/beta are
+    sliced per block exactly as the reference advances start_idx
+    (models/film_global_pooling_pt_stem.py:200-226)."""
+    B, T = feats.shape[:2]
+    ch = cfg.num_res_block_channels
+    dtype = jnp.dtype(cfg.compute_dtype)
+    new_state = dict(state)
+
+    x = conv2d(params["conv_init"], feats.reshape(B * T, *feats.shape[2:]), dtype=dtype)
+    x = jax.nn.relu(x)
+    x = x.reshape(B, T, *x.shape[1:])
+    x, new_state["bn_init"] = frame_batch_norm(
+        params["bn_init"], state["bn_init"], x, frame_mask, train=train)
+    x = x.reshape(B * T, *x.shape[2:])
+
+    fv = film_values.reshape(B * T, -1)
+    for k in range(cfg.num_res_blocks):
+        p1x1 = params[f"conv1x1_{k}"]
+        if cfg.freeze_film_conv1x1:
+            p1x1 = jax.lax.stop_gradient(p1x1)
+        res = jax.nn.relu(conv2d(p1x1, x, dtype=dtype))
+        y = conv2d(params[f"conv3x3_{k}"], res, dtype=dtype)
+        alphas = fv[:, 2 * k * ch: 2 * k * ch + ch]
+        betas = fv[:, 2 * k * ch + ch: 2 * (k + 1) * ch]
+        y = jax.nn.relu(alphas[:, None, None, :] * y + betas[:, None, None, :])
+        x = y + res
+    return x.reshape(B, T, *x.shape[1:]), new_state
+
+
+def init_film_generator(key, cfg, total_out):
+    """Embedding + encoder (LSTM or linear-BoW) + decoder Linear
+    (models/film_global_pooling_pt_stem.py:64-79)."""
+    k_embed, k_enc, k_dec = jax.random.split(key, 3)
+    params = {"embed": {"weight": init.normal(k_embed, (cfg.vocab_size, cfg.embed_size))}}
+    if cfg.q_encoder == "lstm":
+        params["encoder"] = init.reference_lstm(k_enc, cfg.embed_size, cfg.hidden_size)
+    else:
+        params["encoder"] = init.reference_linear(k_enc, cfg.hidden_size, cfg.embed_size)
+    params["decoder"] = init.reference_linear(k_dec, total_out, cfg.hidden_size)
+    return params
+
+
+def film_values_over_frames(params, q, q_lens, num_frames, cfg, *, padding_idx):
+    """FiLM (gamma, beta) per frame: [B, T, total_out].
+
+    LSTM encoder: one question re-encode per frame with carried (h, c) —
+    the film_hidden drift (models/film_attn_pt_stem.py:154-171). BoW encoder:
+    Linear per token -> sum over all 56 positions (bias included per position;
+    the intended mean division is discarded, :173-177) — constant over frames.
+    """
+    B = q.shape[0]
+    emb = embedding(params["embed"], q, padding_idx=padding_idx)
+    if cfg.q_encoder == "lstm":
+        h0 = jnp.zeros((B, cfg.hidden_size), emb.dtype)
+
+        def frame_step(carry, _):
+            outs, carry = lstm(params["encoder"], emb, q_lens, *carry)
+            return carry, last_valid(outs, q_lens)
+
+        _, finals = jax.lax.scan(frame_step, (h0, h0), None, length=num_frames)
+        enc = jnp.moveaxis(finals, 0, 1)  # [B,T,H]
+    else:
+        enc = jnp.sum(linear(params["encoder"], emb), axis=1)  # [B,H]
+        enc = jnp.broadcast_to(enc[:, None, :], (B, num_frames, enc.shape[-1]))
+    return jax.nn.relu(linear(params["decoder"], enc))
+
+
+def _flatten_chw(x):
+    """[..., H, W, C] -> [..., C*H*W] in torch (C, H, W) memory order so imported
+    tail weights line up (the reference flattens NCHW views)."""
+    perm = tuple(range(x.ndim - 3)) + (x.ndim - 1, x.ndim - 3, x.ndim - 2)
+    return jnp.transpose(x, perm).reshape(*x.shape[:-3], -1)
+
+
+# ---------------------------------------------------------------------------
+# film_gp_pt — global temporal max-pool tail
+# ---------------------------------------------------------------------------
+
+def init_film_gp(key, cfg):
+    total_out = 2 * cfg.num_res_block_channels * cfg.num_res_blocks
+    k_gen, k_trunk, k_tail, k_out = jax.random.split(key, 4)
+    params = init_film_generator(k_gen, cfg, total_out)
+    trunk_params, trunk_state = init_film_trunk(k_trunk, cfg)
+    params["trunk"] = trunk_params
+    params["c1x1_tail"] = init.reference_conv2d(
+        k_tail, 1, 1, cfg.num_res_block_channels, cfg.num_tail_channels)
+    params["out_linear"] = init.reference_linear(
+        k_out, cfg.num_classes, C.STEM_OUT_POSITIONS * cfg.num_tail_channels)
+    return params, {"trunk": trunk_state}
+
+
+def apply_film_gp(params, state, batch, cfg, *, train=False, rng=None):
+    feats, v_lens = batch["v_features"], batch["v_len"]
+    q, q_lens = batch["question"], batch["q_len"]
+    B, T = feats.shape[:2]
+    frame_mask = length_mask(v_lens, T)
+
+    films = film_values_over_frames(params, q, q_lens, T, cfg, padding_idx=0)
+    x, trunk_state = film_trunk(
+        params["trunk"], state["trunk"], feats, films, frame_mask, cfg, train=train)
+
+    x = jax.nn.relu(conv2d(params["c1x1_tail"], x.reshape(B * T, *x.shape[2:]),
+                           dtype=jnp.dtype(cfg.compute_dtype)))
+    x = _flatten_chw(x).reshape(B, T, -1)
+    # Zero-pad invalid frames then global max over frames — matches the
+    # reference's cat of zero-padded per-frame rows + max (film_gp:230-235);
+    # post-ReLU values are >= 0 so the included zeros are faithful.
+    x = mask_invalid(x, v_lens)
+    pooled = jnp.max(x, axis=1)
+    return linear(params["out_linear"], pooled), {"trunk": trunk_state}
+
+
+register_model("film_gp_pt", init_film_gp, apply_film_gp,
+               needs_video=True, needs_question=True, uses_stem=True)
+
+
+# ---------------------------------------------------------------------------
+# film_attn_pt — attention-LSTM tail over frames
+# ---------------------------------------------------------------------------
+
+def init_film_attn(key, cfg):
+    total_out = 2 * cfg.num_res_block_channels * cfg.num_res_blocks
+    ks = jax.random.split(key, 7)
+    params = init_film_generator(ks[0], cfg, total_out)
+    trunk_params, trunk_state = init_film_trunk(ks[1], cfg)
+    params["trunk"] = trunk_params
+    dim = C.STEM_OUT_POSITIONS * cfg.num_res_block_channels
+    params["fc_embed_attn"] = init.reference_linear(ks[2], cfg.at_hidden_size, dim)
+    params["fc_attn_1"] = init.reference_linear(ks[3], 1, cfg.at_hidden_size)
+    params["fc_hidden_attn"] = init.reference_linear(ks[4], 1, cfg.at_hidden_size)
+    params["lstm_attn"] = init.reference_lstm(ks[5], cfg.at_hidden_size, cfg.at_hidden_size)
+    params["out_linear"] = init.reference_linear(
+        ks[6], cfg.num_classes, cfg.max_num_frames * cfg.at_hidden_size)
+    return params, {"trunk": trunk_state}
+
+
+def apply_film_attn(params, state, batch, cfg, *, train=False, rng=None):
+    feats, v_lens = batch["v_features"], batch["v_len"]
+    q, q_lens = batch["question"], batch["q_len"]
+    B, T = feats.shape[:2]
+    frame_mask = length_mask(v_lens, T)
+
+    # film_attn's embedding has NO padding_idx (models/film_attn_pt_stem.py:37).
+    films = film_values_over_frames(params, q, q_lens, T, cfg, padding_idx=None)
+    x, trunk_state = film_trunk(
+        params["trunk"], state["trunk"], feats, films, frame_mask, cfg, train=train)
+
+    # Per-frame feature embedding; invalid frames zero (F.pad, :245-247,253-256).
+    all_features = linear(params["fc_embed_attn"], _flatten_chw(x))  # [B,T,at]
+    all_features = mask_invalid(all_features, v_lens)
+
+    # Precomputed per-frame scores: fc_attn_1 on valid entries only; invalid
+    # entries stay exactly 0 (torch.zeros container, :276-281) — the linear
+    # bias is NOT applied there.
+    scores = jnp.where(frame_mask, linear(params["fc_attn_1"], all_features)[..., 0], 0.0)
+    mask = attn_frame_mask(v_lens, T)  # [B,T], 0 beyond batch max (quirk)
+
+    h0 = jnp.zeros((B, cfg.at_hidden_size))
+
+    def attn_step(carry, _):
+        h, c = carry
+        v_i = linear(params["fc_hidden_attn"], h)  # [B,1]
+        coefs = jax.nn.softmax(v_i + scores + mask, axis=1)  # [B,T]
+        ctxt = jnp.einsum("bt,bta->ba", coefs, all_features)
+        h, c = lstm_cell(params["lstm_attn"], ctxt, h, c)
+        return (h, c), h
+
+    _, hs = jax.lax.scan(attn_step, (h0, h0), None, length=T)
+    hs = jnp.moveaxis(hs, 0, 1).reshape(B, -1)  # [B, T*at]
+    return linear(params["out_linear"], hs), {"trunk": trunk_state}
+
+
+register_model("film_attn_pt", init_film_attn, apply_film_attn,
+               needs_video=True, needs_question=True, uses_stem=True)

@@ -18,13 +18,17 @@ _DN3D = ("NDHWC", "DHWIO", "NDHWC")
 
 
 def conv2d(params, x, *, stride=(1, 1), padding="SAME", dtype=None):
+    """dtype selects the MXU compute precision (bf16 on TPU); the MXU still
+    accumulates partial products in f32 internally, and omitting
+    preferred_element_type keeps forward/transpose dtypes consistent for AD."""
     w = params["weight"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
+    elif x.dtype != w.dtype:
+        w = w.astype(x.dtype)
     y = lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=_DN2D,
-        preferred_element_type=jnp.float32,
     )
     b = params.get("bias")
     if b is not None:
@@ -36,10 +40,11 @@ def conv3d(params, x, *, stride=(1, 1, 1), padding="SAME", dtype=None):
     w = params["weight"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
+    elif x.dtype != w.dtype:
+        w = w.astype(x.dtype)
     y = lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=_DN3D,
-        preferred_element_type=jnp.float32,
     )
     b = params.get("bias")
     if b is not None:

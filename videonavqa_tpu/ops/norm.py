@@ -36,6 +36,7 @@ def batch_norm(params, state, x, *, train: bool, momentum: float = MOMENTUM):
     unbiased for the running-stat EMA update.
     Returns (y, new_state).
     """
+    x = x.astype(jnp.float32)  # stats and normalization in full precision
     axes = tuple(range(x.ndim - 1))
     if train:
         mean = jnp.mean(x, axis=axes)
@@ -65,6 +66,7 @@ def frame_batch_norm(params, state, x, frame_mask, *, train: bool, momentum: flo
     valid-statistics (garbage but finite); callers mask them downstream, exactly
     where the reference zero-pads (models/film_attn_pt_stem.py:245-247).
     """
+    x = x.astype(jnp.float32)  # stats and normalization in full precision
     B, T = x.shape[:2]
     if not train:
         y = (x - state["mean"]) * jnp.reciprocal(jnp.sqrt(state["var"] + EPS))
