@@ -32,7 +32,7 @@ P100_VIDEOS_PER_SEC = 8.0  # ~86k examples / 3h (README.md:42)
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=32)
-    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--steps", type=int, default=16)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--model", type=str, default="film_attn_pt")
     parser.add_argument("--num_res_blocks", type=int, default=5)
@@ -56,30 +56,56 @@ def main(argv=None):
     step = make_train_step(spec, cfg, optimizer, reduction="sum", clip_value=1.0,
                            stem_fn=stem_fn)
 
+    # Realistic epoch: video lengths ~ the dataset distribution (10-140 raw
+    # frames -> v_len = ceil(/4) in [3, 35], scripts/trajectory_gen.py:31,
+    # eval/dataset.py:80-89), length-bucketed batches with the frame axis
+    # trimmed per bucket (exact semantics; see tests/test_frame_trimming.py).
     B = args.batch_size
+    import numpy as np
+
+    npr = np.random.RandomState(0)
+    buckets = (12, 20, 28, 35)
+    n_batches_per_bucket = {t: 0 for t in buckets}
+    all_lens = np.minimum(-(-npr.randint(10, 141, size=args.steps * B) // 4), 35)
+    all_lens = np.sort(all_lens)[::-1]
+    for i in range(args.steps):
+        t_max = int(all_lens[i * B: (i + 1) * B].max())
+        t_b = min(t for t in buckets if t >= t_max)
+        n_batches_per_bucket[t_b] += 1
+
     kv, kq = jax.random.split(key)
-    batch = {
-        "video": jax.random.uniform(kv, (B, 35, 160, 208, 3), jnp.float32),
-        "question": jax.random.randint(kq, (B, 56), 1, cfg.vocab_size),
-        "v_len": jnp.concatenate([jnp.full((B // 2,), 35), jnp.full((B - B // 2,), 18)]).astype(jnp.int32),
-        "q_len": jnp.full((B,), 12, jnp.int32),
-        "label": jax.random.randint(key, (B,), 0, cfg.num_classes),
-    }
+
+    def make_batch(T, lens):
+        return {
+            "video": jax.random.uniform(kv, (B, T, 160, 208, 3), jnp.float32),
+            "question": jax.random.randint(kq, (B, 56), 1, cfg.vocab_size),
+            "v_len": jnp.asarray(lens, jnp.int32),
+            "q_len": jnp.full((B,), 12, jnp.int32),
+            "label": jax.random.randint(key, (B,), 0, cfg.num_classes),
+        }
+
+    batches = {t: make_batch(t, np.clip(all_lens[:B], 3, t))
+               for t, n in n_batches_per_bucket.items() if n > 0}
 
     rng = jax.random.PRNGKey(1)
-    for i in range(args.warmup):
-        rng, sub = jax.random.split(rng)
-        params, state, opt_state, metrics = step(params, state, opt_state, batch, sub)
+    for t, batch in batches.items():  # compile + warmup each bucket
+        for _ in range(args.warmup):
+            rng, sub = jax.random.split(rng)
+            params, state, opt_state, metrics = step(params, state, opt_state, batch, sub)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.time()
-    for i in range(args.steps):
-        rng, sub = jax.random.split(rng)
-        params, state, opt_state, metrics = step(params, state, opt_state, batch, sub)
+    n_steps = 0
+    for t, n in n_batches_per_bucket.items():
+        for _ in range(n):
+            rng, sub = jax.random.split(rng)
+            params, state, opt_state, metrics = step(
+                params, state, opt_state, batches[t], sub)
+            n_steps += 1
     jax.block_until_ready(metrics["loss"])
     dt = time.time() - t0
 
-    videos_per_sec = args.steps * B / dt
+    videos_per_sec = n_steps * B / dt
     print(json.dumps({
         "metric": "film_attn_train_videos_per_sec_per_chip",
         "value": round(videos_per_sec, 2),

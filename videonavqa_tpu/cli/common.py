@@ -76,6 +76,10 @@ def build_q_and_v_parser():
     parser.add_argument("--frcnn_pretrained_path", type=str)
     parser.add_argument("--stats_after_every", type=int, default=400)
     parser.add_argument("--val_only", type=lambda s: s.lower() == "true", default=False)
+    parser.add_argument("--bucket_frames", type=lambda s: s.lower() == "true", default=False,
+                        help="group length-similar videos per batch and trim the "
+                             "frame axis to bucket sizes (exact; skips padding-"
+                             "frame compute, one compile per bucket)")
     return parser
 
 
@@ -226,10 +230,14 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         h.class_weights = jnp.asarray(train_ds.get_class_weights(h.cfg.num_classes))
         print("Using class weights", np.asarray(h.class_weights))
 
-    train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
-                               num_workers=args.num_workers, seed=args.seed)
+    # v_only_cnn3d's flatten geometry requires the full 35-frame volume
+    bucket = getattr(args, "bucket_frames", False) and model_name != "v_only_cnn3d" \
+        and not q_only
+    loader_kw = dict(num_workers=args.num_workers, seed=args.seed,
+                     bucket_by_length=bucket, frame_buckets=True if bucket else None)
+    train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True, **loader_kw)
     val_loader = BatchLoader(val_ds, args.batch_size, shuffle=False, mode="val",
-                             num_workers=args.num_workers, seed=args.seed)
+                             **loader_kw)
 
     params, state = h.init_model()
     optimizer = make_optimizer(args.l_rate)

@@ -72,6 +72,19 @@ class DataPaths:
         return os.path.join(self.base_dir, "obj_detect.pt")
 
 
+def _video_num_frames(path_base: str) -> int:
+    """Frame count without decoding (npy header / mp4 metadata)."""
+    npy = path_base + ".npy"
+    if os.path.exists(npy):
+        return int(np.load(npy, mmap_mode="r").shape[0])
+    import cv2
+
+    cap = cv2.VideoCapture(path_base + ".mp4")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    return min(max(n, 1), C.MAX_NUM_VIDEO_FRAMES)
+
+
 def _decode_video(path_base: str) -> np.ndarray:
     """Decode <id>.mp4 (OpenCV) or <id>.npy into [T, H, W, 3] uint8 BGR."""
     npy = path_base + ".npy"
@@ -150,6 +163,17 @@ class VNQADataset:
         ex["label"] = self.labels[filename]
         return ex
 
+    def subsampled_lengths(self):
+        """Post-subsampling v_len per example (ceil(frames/4), capped at 35),
+        from container metadata only — used for length-bucketed batching."""
+        if not hasattr(self, "_lengths"):
+            raw = [_video_num_frames(os.path.join(self.paths.videos_dir, f))
+                   for f in self.filenames]
+            self._lengths = np.minimum(
+                -(-np.asarray(raw) // C.DROP_EVERY_N_FRAMES),
+                C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
+        return self._lengths
+
     def get_class_weights(self, num_classes=C.NUM_CLASSES):
         """Inverse-frequency class weights (eval/dataset.py:112-120)."""
         classes = np.array([self.labels[f] for f in self.filenames])
@@ -168,8 +192,20 @@ class BatchLoader:
     sets 'num_valid' so the harness can slice the padding back off.
     """
 
+    #: trim targets for the frame axis — a handful of sizes bounds recompiles
+    DEFAULT_FRAME_BUCKETS = (8, 12, 16, 20, 24, 28, 32, 35)
+
     def __init__(self, dataset: VNQADataset, batch_size: int, *, shuffle=True,
-                 mode="train", num_workers=4, seed=0, prefetch=2):
+                 mode="train", num_workers=4, seed=0, prefetch=2,
+                 bucket_by_length=False, frame_buckets=None):
+        """``bucket_by_length`` groups length-similar examples into the same
+        batch (shuffled tie-breaks, shuffled batch order). ``frame_buckets``
+        trims each batch's video container from 35 frames down to the smallest
+        bucket >= the batch's max v_len — exact for every model except
+        v_only_cnn3d, whose FC geometry needs the full 35-frame volume
+        (models/v_only_cnn3d.py:28). Together they skip the padding frames the
+        reference's effective-batch shrink loop skips on GPU.
+        """
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -177,6 +213,9 @@ class BatchLoader:
         self.num_workers = num_workers
         self.seed = seed
         self.prefetch = prefetch
+        self.bucket_by_length = bucket_by_length
+        self.frame_buckets = (self.DEFAULT_FRAME_BUCKETS if frame_buckets is True
+                              else frame_buckets)
 
     def __len__(self):
         n = len(self.ds)
@@ -208,17 +247,28 @@ class BatchLoader:
             if self.mode == "test":
                 batch["q_len"][num_valid:] = np.maximum(batch["q_len"][num_valid:], 1)
         batch["num_valid"] = np.int32(num_valid)
+        if self.frame_buckets and "video" in batch:
+            t_max = int(batch["v_len"].max())
+            t_b = min((t for t in self.frame_buckets if t >= t_max),
+                      default=batch["video"].shape[1])
+            batch["video"] = batch["video"][:, :t_b]
         return batch
 
     def epoch(self, epoch: int = 0):
         """Yields collated numpy batches for one epoch."""
         order = np.arange(len(self.ds))
+        rs = np.random.RandomState((self.seed, epoch).__hash__() & 0x7FFFFFFF)
         if self.shuffle:
-            np.random.RandomState((self.seed, epoch).__hash__() & 0x7FFFFFFF).shuffle(order)
+            rs.shuffle(order)
+        if self.bucket_by_length:
+            lens = self.ds.subsampled_lengths()[order]
+            order = order[np.argsort(-lens, kind="stable")]  # shuffled tie-break
 
-        starts = range(0, len(order), self.batch_size)
+        starts = list(range(0, len(order), self.batch_size))
         if self.mode != "test":
             starts = [s for s in starts if s + self.batch_size <= len(order)]
+        if self.bucket_by_length and self.shuffle:
+            rs.shuffle(starts)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()

@@ -215,18 +215,30 @@ def apply_film_attn(params, state, batch, cfg, *, train=False, rng=None):
     scores = jnp.where(frame_mask, linear(params["fc_attn_1"], all_features)[..., 0], 0.0)
     mask = attn_frame_mask(v_lens, T)  # [B,T], 0 beyond batch max (quirk)
 
+    # Length-bucketed batches may trim the frame axis to T < max_num_frames.
+    # The trimmed-away frames are exactly the reference's "beyond batch max"
+    # frames: zero features, zero score, zero mask. They contribute
+    #   n_phantom * exp(v_i) to the softmax normalizer and nothing to the
+    # context, so the T=35 semantics are reproduced in closed form.
+    n_phantom = float(cfg.max_num_frames - T)
     h0 = jnp.zeros((B, cfg.at_hidden_size))
 
     def attn_step(carry, _):
         h, c = carry
         v_i = linear(params["fc_hidden_attn"], h)  # [B,1]
-        coefs = jax.nn.softmax(v_i + scores + mask, axis=1)  # [B,T]
+        logits = v_i + scores + mask  # [B,T]
+        m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), v_i)
+        e = jnp.exp(logits - m)
+        denom = jnp.sum(e, axis=1, keepdims=True) + n_phantom * jnp.exp(v_i - m)
+        coefs = e / denom
         ctxt = jnp.einsum("bt,bta->ba", coefs, all_features)
         h, c = lstm_cell(params["lstm_attn"], ctxt, h, c)
         return (h, c), h
 
-    _, hs = jax.lax.scan(attn_step, (h0, h0), None, length=T)
-    hs = jnp.moveaxis(hs, 0, 1).reshape(B, -1)  # [B, T*at]
+    # The LSTMCell recurs over all max_num_frames steps regardless of trimming
+    # (models/film_attn_pt_stem.py:283-295).
+    _, hs = jax.lax.scan(attn_step, (h0, h0), None, length=cfg.max_num_frames)
+    hs = jnp.moveaxis(hs, 0, 1).reshape(B, -1)  # [B, max_num_frames*at]
     return linear(params["out_linear"], hs), {"trunk": trunk_state}
 
 
