@@ -1,0 +1,199 @@
+"""Dataset-generation stack tests: ops, text realization, generator semantics,
+engine balancing, and the full synthetic pipeline."""
+
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+from videonavqa_tpu.datagen import geometry
+from videonavqa_tpu.datagen.encode import build_vocab, encode_questions, tokenize
+from videonavqa_tpu.datagen.engine import REL_TEMPLATE_IDS, QuestionEngine
+from videonavqa_tpu.datagen.generator import GenerationTimeout, QuestionGenerator
+from videonavqa_tpu.datagen.labels import write_labels
+from videonavqa_tpu.datagen.ontology import ANSWER_VOCAB
+from videonavqa_tpu.datagen.programs import EvalContext, GenerationError, OPS
+from videonavqa_tpu.datagen.scene import HouseObject, HouseRoom, SceneGraph
+from videonavqa_tpu.datagen.templates import (
+    NUM_TEMPLATES, SORTED_TEMPLATE_KEYS, TEMPLATES,
+)
+from videonavqa_tpu.datagen.text import realize_question
+
+
+def _box(x, z, w=1.0, d=1.0, h=1.0, y0=0.0):
+    return {"min": [x, y0, z], "max": [x + w, y0 + h, z + d]}
+
+
+def make_scene(all_seen=True):
+    """Two rooms: kitchen with 2 tables (blue, green) + red-ish chair; bedroom
+    with 1 table (blue)."""
+    rooms = [
+        HouseRoom(types=["kitchen"], bbox=_box(0, 0, 6, 6, 2.5), objects=[
+            HouseObject("n0", "table", _box(1, 1), color="blue"),
+            HouseObject("n1", "table", _box(3, 3), color="green"),
+            HouseObject("n2", "chair", _box(1, 3), color="brown"),
+        ]),
+        HouseRoom(types=["bedroom"], bbox=_box(6, 0, 6, 6, 2.5), objects=[
+            HouseObject("n3", "table", _box(7, 1), color="blue"),
+            HouseObject("n4", "bed", _box(9, 2, 2, 2), color="white"),
+        ]),
+    ]
+    scene = SceneGraph(rooms)
+    if all_seen:
+        for room in scene.rooms():
+            scene.mark_visited(room)
+            for slot in room["objects"].values():
+                for o in slot["obj_list"]:
+                    o["seen"] = True
+                slot["seen_count"] = slot["count"]
+    return scene
+
+
+def test_template_inventory():
+    assert NUM_TEMPLATES == 29
+    # q_id order is the alphabetical key order
+    assert SORTED_TEMPLATE_KEYS == sorted(TEMPLATES)
+    # relation templates found by tree inspection
+    for i in REL_TEMPLATE_IDS:
+        assert "<rel>" in SORTED_TEMPLATE_KEYS[i]
+
+
+def test_ops_semantics():
+    ctx = EvalContext()
+    assert OPS["equal_set"](ctx, ["a", "a"], "a") is True
+    assert OPS["equal_set"](ctx, [], "a") is False
+    with pytest.raises(GenerationError):
+        OPS["unique"](ctx, [1, 2])
+    assert OPS["unique"](ctx, [2, 2]) == 2
+    assert OPS["comp"](ctx, "more", 3, 2) is True
+    assert OPS["comp"](ctx, "fewer", 3, 2) is False
+    assert sorted(OPS["intersect"](ctx, [1, 2, 3], [2, 3, 4])) == [2, 3]
+    big, small = {"bbox": _box(0, 0, 2, 2, 2)}, {"bbox": _box(0, 0, 1, 1, 1)}
+    assert OPS["comp_rel"](ctx, big, small) is True
+    assert OPS["comp_rel"](ctx, small, big) is False
+    assert OPS["comp_sup"](ctx, [small, big]) is big
+    assert OPS["strip_nums"](ctx, "kitchen12") == "kitchen"
+
+
+def test_geometry_nearby_pairs():
+    from videonavqa_tpu.datagen.scene import ItemInfo
+
+    table = ItemInfo("table1", {"bbox": _box(0, 0, 1, 1, 0.8), "node": "t"})
+    vase = ItemInfo("vase1", {"bbox": _box(0.2, 0.2, 0.2, 0.2, 0.3, y0=0.85), "node": "v"})
+    chair = ItemInfo("chair1", {"bbox": _box(1.2, 0, 0.5, 0.5, 1.0), "node": "c"})
+    pairs = geometry.nearby_pairs([table, vase, chair], hthreshold=0.3, vthreshold=0.2)
+    on_pairs = [(a.name, b.name) for a, b, _ in pairs["on"]]
+    next_pairs = {(a.name, b.name) for a, b, _ in pairs["next_to"]}
+    assert ("vase1", "table1") in on_pairs
+    assert ("chair1", "table1") in next_pairs and ("table1", "chair1") in next_pairs
+
+
+@pytest.mark.parametrize("template,answer,expected", [
+    ("Is there <art> <attr> <obj_type>?", True, True),
+    ("How many <obj_type-pl> are <attr>?", None, None),
+    ("What color is the <attr> <obj_type>?", "<query>:color", None),
+    ("Where is the <attr> <obj_type>?", "<query>:room_location", None),
+])
+def test_generator_produces_valid_examples(template, answer, expected):
+    scene = make_scene()
+    rng = random.Random(0)
+    gen = QuestionGenerator(scene, rng)
+    q_id = SORTED_TEMPLATE_KEYS.index(template)
+    if answer is None:  # count question: target an achievable count
+        answer = 1
+    import time
+
+    q_text, q_ans = gen.generate_example(q_id, answer,
+                                         deadline=time.perf_counter() + 5.0)
+    assert isinstance(q_text, str) and "<" not in q_text and "  " not in q_text
+    assert str(q_ans) in ANSWER_VOCAB
+    if isinstance(answer, bool):
+        assert q_ans == answer
+
+
+def test_generator_counts_consistent():
+    """'How many tables are there?' must answer 2 in the kitchen, 3 total by
+    room-filter — exercise the count template against the known scene."""
+    scene = make_scene()
+    gen = QuestionGenerator(scene, random.Random(1))
+    q_id = SORTED_TEMPLATE_KEYS.index("How many <obj_type-pl> are <attr>?")
+    import time
+
+    # counts of tables: 3 overall; chair: 1; bed: 1 (but entropy rules may
+    # reject bed). Target 3 => must be the tables question.
+    q_text, q_ans = gen.generate_example(q_id, 3, deadline=time.perf_counter() + 5.0)
+    assert q_ans == 3
+    assert "table" in q_text
+
+
+def test_generator_timeout():
+    scene = make_scene()
+    gen = QuestionGenerator(scene, random.Random(0))
+    # impossible count for this scene -> must hit the deadline
+    q_id = SORTED_TEMPLATE_KEYS.index("How many <obj_type-pl> are <attr>?")
+    import time
+
+    with pytest.raises(GenerationTimeout):
+        gen.generate_example(q_id, 10, deadline=time.perf_counter() + 0.3)
+
+
+def test_text_realization():
+    tags = {
+        "attr": {"value": ["blue"], "type": ["color"]},
+        "obj_type": {"value": "table", "type": "obj_type"},
+    }
+    out = realize_question("Is there <art> <attr> <obj_type>?", tags)
+    assert out == "Is there a blue table?"
+
+    tags = {
+        "attr": {"value": ["kitchen"], "type": ["room_location"]},
+        "obj_type": {"value": "switch", "type": "obj_type"},
+    }
+    out = realize_question("How many <obj_type-pl> are <attr>?", tags)
+    assert out == "How many switches are located in the kitchen?"
+
+    # empty attr on the 'are <attr>?' form becomes 'are there?'
+    tags = {
+        "attr": {"value": [], "type": []},
+        "obj_type": {"value": "chair", "type": "obj_type"},
+    }
+    out = realize_question("How many <obj_type-pl> are <attr>?", tags)
+    assert out == "How many chairs are there?"
+
+
+def test_tokenizer_matches_reference_regex():
+    toks = tokenize("Is there a living room/office? What's here?")
+    assert toks == ["is", "there", "a", "living", "room", "/", "office", "?",
+                    "what's", "here", "?"]
+
+
+def test_full_synthetic_generation_pipeline(tmp_path):
+    from videonavqa_tpu.cli import generate_dataset
+
+    out = str(tmp_path / "gen")
+    generate_dataset.main(["--out", out, "--num_houses", "3",
+                           "--trajs_per_house", "3", "--seed", "0"])
+
+    labels = json.load(open(os.path.join(out, "labels.json")))
+    assert len(labels) >= 3  # at least some questions generated
+    assert all(0 <= v < 70 for v in labels.values())
+    split = json.load(open(os.path.join(out, "split.json")))
+    assert set(split) == {"train", "val", "test"}
+    vocab = build_vocab(os.path.join(out, "questions"))
+    assert 0 < len(vocab) < 134 + 1
+
+    # encoded questions decode back within vocab range, and the dataset loads
+    # through the training pipeline
+    from videonavqa_tpu.data import BatchLoader, DataPaths, VNQADataset
+
+    paths = DataPaths(out)
+    example_ids = sorted(labels)
+    ds = VNQADataset(paths, example_ids, labels, deterministic=True)
+    ex = ds.load_example(0)
+    assert ex["question"].max() <= len(vocab)
+    assert ex["video"].shape == (35, 160, 208, 3)
+    loader = BatchLoader(ds, 2, shuffle=False, num_workers=2)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["video"].shape[0] == 2
