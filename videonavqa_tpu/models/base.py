@@ -52,6 +52,9 @@ class ModelConfig:
     max_q_len: int = C.MAX_Q_LEN
     # Compute dtype for conv trunks / big matmuls ('bfloat16' or 'float32').
     compute_dtype: str = "bfloat16"
+    # Use the fused Pallas recurrence kernels on the inference path (the
+    # training path always uses XLA scans for autodiff).
+    use_pallas_kernels: bool = False
     # Parity registers (SURVEY §8): the reference's FiLM 1x1-conv skip layers are
     # invisible to the optimizer/state_dict (defect 9). False (default) makes
     # them ordinary trainable params; True freezes them at init for strict

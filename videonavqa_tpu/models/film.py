@@ -221,6 +221,15 @@ def apply_film_attn(params, state, batch, cfg, *, train=False, rng=None):
     #   n_phantom * exp(v_i) to the softmax normalizer and nothing to the
     # context, so the T=35 semantics are reproduced in closed form.
     n_phantom = float(cfg.max_num_frames - T)
+
+    if cfg.use_pallas_kernels and not train:
+        from videonavqa_tpu.kernels.attn_tail_pallas import attn_tail_pallas
+
+        hs = attn_tail_pallas(params, all_features, scores, mask,
+                              num_steps=cfg.max_num_frames, n_phantom=n_phantom)
+        hs = hs.reshape(B, -1)
+        return linear(params["out_linear"], hs), {"trunk": trunk_state}
+
     h0 = jnp.zeros((B, cfg.at_hidden_size))
 
     def attn_step(carry, _):
