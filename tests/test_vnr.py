@@ -1,0 +1,96 @@
+"""Native VNR loader: pack -> C++ batch assembly parity with the Python path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from videonavqa_tpu.data import DataPaths, VNQADataset, load_json
+from videonavqa_tpu.data.synthetic import generate_synthetic_dataset
+from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built, pack_dataset
+from videonavqa_tpu.utils import constants as C
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("vnrdata"))
+    generate_synthetic_dataset(base, num_houses=2, trajs_per_house=3, seed=1,
+                               video_format="npy", max_frames=50)
+    ensure_built()
+    out = os.path.join(base, "all.vnr")
+    ids = pack_dataset(base, out)
+    return base, out, ids
+
+
+def test_pack_and_lengths(packed):
+    base, out, ids = packed
+    loader = VNRBatchLoader(out, batch_size=2, shuffle=False)
+    assert loader.n == len(ids)
+    # lengths match ceil(frames/4)
+    paths = DataPaths(base)
+    for i, ex_id in enumerate(ids):
+        raw = np.load(os.path.join(paths.videos_dir, ex_id + ".npy"))
+        assert loader._lengths[i] == min(-(-raw.shape[0] // 4), 35)
+    loader.close()
+
+
+def test_batch_contents_match_python_loader(packed):
+    base, out, ids = packed
+    paths = DataPaths(base)
+    labels = load_json(paths.labels_file)
+    ds = VNQADataset(paths, ids, labels, deterministic=True, q_metadata=True)
+
+    loader = VNRBatchLoader(out, batch_size=len(ids), shuffle=False,
+                            deterministic=True)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["video"].shape == (len(ids), 35, C.VID_HEIGHT, C.VID_WIDTH, 3)
+
+    for i, ex_id in enumerate(ids):
+        ex = ds.load_example(i)
+        # question/label/q_id exact
+        np.testing.assert_array_equal(batch["question"][i], ex["question"])
+        assert batch["q_len"][i] == ex["q_len"]
+        assert batch["label"][i] == ex["label"]
+        assert batch["q_id"][i] == ex["q_id"]
+        assert batch["v_len"][i] == ex["v_len"]
+        # frames: same bucket structure (exact frame choice differs — C++ and
+        # numpy use different RNGs — but every kept frame must be a real frame
+        # from the right bucket)
+        raw = np.load(os.path.join(paths.videos_dir, ex_id + ".npy"))
+        for t in range(batch["v_len"][i]):
+            bucket = raw[t * 4: min((t + 1) * 4, raw.shape[0])]
+            match = (bucket == batch["video"][i, t][None]).all(axis=(1, 2, 3))
+            assert match.any(), f"frame {t} of {ex_id} not from its bucket"
+        assert np.all(batch["video"][i, batch["v_len"][i]:] == 0)
+
+
+def test_deterministic_and_epoch_varied_subsampling(packed):
+    _, out, ids = packed
+    det = VNRBatchLoader(out, batch_size=len(ids), shuffle=False, deterministic=True)
+    b1 = next(iter(det.epoch(0)))
+    b2 = next(iter(det.epoch(7)))
+    np.testing.assert_array_equal(b1["video"], b2["video"])
+
+    rnd = VNRBatchLoader(out, batch_size=len(ids), shuffle=False, deterministic=False)
+    r1 = next(iter(rnd.epoch(0)))
+    r2 = next(iter(rnd.epoch(7)))
+    assert not np.array_equal(r1["video"], r2["video"])
+
+
+def test_bucketed_trimming_and_test_padding(packed):
+    _, out, ids = packed
+    loader = VNRBatchLoader(out, batch_size=2, shuffle=True, seed=3,
+                            bucket_by_length=True, frame_buckets=True)
+    for batch in loader.epoch(0):
+        t_cap = batch["video"].shape[1]
+        assert t_cap in loader.frame_buckets
+        assert batch["v_len"].max() <= t_cap
+
+    test_loader = VNRBatchLoader(out, batch_size=4, shuffle=False, mode="test")
+    batches = list(test_loader.epoch(0))
+    assert sum(int(b["num_valid"]) for b in batches) == len(ids)
+    last = batches[-1]
+    nv = int(last["num_valid"])
+    if nv < 4:
+        assert np.all(last["q_id"][nv:] == 35)
+        assert np.all(last["v_len"][nv:] == 1)

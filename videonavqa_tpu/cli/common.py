@@ -80,6 +80,9 @@ def build_q_and_v_parser():
                         help="group length-similar videos per batch and trim the "
                              "frame axis to bucket sizes (exact; skips padding-"
                              "frame compute, one compile per bucket)")
+    parser.add_argument("--use_vnr", type=lambda s: s.lower() == "true", default=False,
+                        help="feed batches through the native C++ VNR loader "
+                             "({split}.vnr files; see cli.pack_dataset)")
     return parser
 
 
@@ -233,11 +236,28 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     # v_only_cnn3d's flatten geometry requires the full 35-frame volume
     bucket = getattr(args, "bucket_frames", False) and model_name != "v_only_cnn3d" \
         and not q_only
-    loader_kw = dict(num_workers=args.num_workers, seed=args.seed,
-                     bucket_by_length=bucket, frame_buckets=True if bucket else None)
-    train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True, **loader_kw)
-    val_loader = BatchLoader(val_ds, args.batch_size, shuffle=False, mode="val",
-                             **loader_kw)
+    if getattr(args, "use_vnr", False) and not q_only:
+        from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built, pack_dataset
+
+        ensure_built()
+        vnr_kw = dict(seed=args.seed, bucket_by_length=bucket,
+                      frame_buckets=True if bucket else None)
+        loaders = {}
+        for part, det in (("train", False), ("val", True)):
+            path = os.path.join(args.data_dir, f"{part}.vnr")
+            if not os.path.exists(path):
+                print(f"=> Packing {part} split into {path}")
+                pack_dataset(args.data_dir, path, h.split[part])
+            loaders[part] = VNRBatchLoader(
+                path, args.batch_size, shuffle=(part == "train"),
+                mode=part, deterministic=det, **vnr_kw)
+        train_loader, val_loader = loaders["train"], loaders["val"]
+    else:
+        loader_kw = dict(num_workers=args.num_workers, seed=args.seed,
+                         bucket_by_length=bucket, frame_buckets=True if bucket else None)
+        train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True, **loader_kw)
+        val_loader = BatchLoader(val_ds, args.batch_size, shuffle=False, mode="val",
+                                 **loader_kw)
 
     params, state = h.init_model()
     optimizer = make_optimizer(args.l_rate)

@@ -1,0 +1,200 @@
+"""VNR packed-record dataset: Python writer + ctypes binding to the native
+C++ batch loader (native/vnr.cpp).
+
+``pack_dataset`` converts a generated dataset directory (videos/ +
+encoded_questions/ + labels.json + q_ids.json) into one .vnr file per split;
+``VNRBatchLoader`` then assembles training batches through the C++ thread pool
+(decompress + 1-of-4 random subsample + pad) with the same epoch API as
+data.pipeline.BatchLoader.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import zlib
+
+import numpy as np
+
+from videonavqa_tpu.data.pipeline import DataPaths, _decode_video, load_json
+from videonavqa_tpu.utils import constants as C
+
+_MAGIC = 0x31524E56
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "vnr.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libvnr.so")
+
+
+def ensure_built(force=False):
+    """Compile native/vnr.cpp -> libvnr.so if missing or stale."""
+    if not force and os.path.exists(_LIB) and \
+            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
+           "-lz", "-lpthread"]
+    subprocess.run(cmd, check=True)
+    return _LIB
+
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(ensure_built())
+        lib.vnr_open.restype = ctypes.c_void_p
+        lib.vnr_open.argtypes = [ctypes.c_char_p]
+        lib.vnr_num_examples.argtypes = [ctypes.c_void_p]
+        lib.vnr_lengths.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.vnr_batch.restype = ctypes.c_int
+        lib.vnr_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.vnr_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+def pack_dataset(base_dir, out_file, example_ids=None, *, compress=True):
+    """Pack (a split of) a dataset directory into a .vnr file.
+
+    Returns the list of example ids in file order (the loader's index space).
+    """
+    paths = DataPaths(base_dir)
+    labels = load_json(paths.labels_file)
+    q_ids = load_json(paths.q_ids_file) if os.path.exists(paths.q_ids_file) else {}
+    ids = sorted(example_ids if example_ids is not None else labels)
+
+    index_blobs, data_blobs = [], []
+    offset = 0
+    for ex_id in ids:
+        video = _decode_video(os.path.join(paths.videos_dir, ex_id))
+        assert video.shape[1:] == (C.VID_HEIGHT, C.VID_WIDTH, 3), video.shape
+        frames = []
+        for frame in video:
+            raw = np.ascontiguousarray(frame).tobytes()
+            frames.append(zlib.compress(raw, 1) if compress else raw)
+        tokens = np.load(os.path.join(paths.questions_dir, ex_id + ".npy")).astype(np.int64)
+
+        idx = struct.pack("<QI", offset, len(frames))
+        idx += struct.pack(f"<{len(frames)}I", *[len(b) for b in frames])
+        idx += struct.pack("<Iii", len(tokens), int(labels[ex_id]),
+                           int(q_ids.get(ex_id, 0)))
+        idx += tokens.tobytes()
+        index_blobs.append(idx)
+        blob = b"".join(frames)
+        data_blobs.append(blob)
+        offset += len(blob)
+
+    header = struct.pack("<IIIHHHH", _MAGIC, 1, len(ids), C.VID_HEIGHT,
+                         C.VID_WIDTH, 3, 1 if compress else 0)
+    tmp = out_file + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(header)
+        f.writelines(index_blobs)
+        f.writelines(data_blobs)
+    os.replace(tmp, out_file)
+    return ids
+
+
+class VNRBatchLoader:
+    """Batch iterator over a .vnr file via the native thread pool.
+
+    Same epoch()/len() surface as pipeline.BatchLoader (train/val drop-last,
+    test pad-and-slice; optional length-bucketed batches with frame trimming).
+    """
+
+    def __init__(self, path, batch_size, *, shuffle=True, mode="train",
+                 num_threads=0, seed=0, bucket_by_length=False,
+                 frame_buckets=None, deterministic=False):
+        from videonavqa_tpu.data.pipeline import BatchLoader
+
+        self._lib = _load_lib()
+        self._handle = self._lib.vnr_open(path.encode())
+        if not self._handle:
+            raise IOError(f"could not open VNR file {path}")
+        self.n = self._lib.vnr_num_examples(self._handle)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.mode = mode
+        self.num_threads = num_threads
+        self.seed = seed
+        self.deterministic = deterministic
+        self.bucket_by_length = bucket_by_length
+        self.frame_buckets = (BatchLoader.DEFAULT_FRAME_BUCKETS
+                              if frame_buckets is True else frame_buckets)
+        self._lengths = np.zeros(self.n, dtype=np.int32)
+        self._lib.vnr_lengths(self._handle,
+                              self._lengths.ctypes.data_as(ctypes.c_void_p))
+
+    def __len__(self):
+        if self.mode == "test":
+            return (self.n + self.batch_size - 1) // self.batch_size
+        return self.n // self.batch_size
+
+    def close(self):
+        if self._handle:
+            self._lib.vnr_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _load(self, idxs, t_cap, epoch):
+        B = self.batch_size
+        n_valid = len(idxs)
+        idx_arr = np.full(B, 0, dtype=np.int32)
+        idx_arr[:n_valid] = idxs
+        video = np.empty((B, t_cap, C.VID_HEIGHT, C.VID_WIDTH, 3), dtype=np.uint8)
+        v_len = np.empty(B, dtype=np.int32)
+        q = np.empty((B, C.MAX_Q_LEN), dtype=np.int32)
+        q_len = np.empty(B, dtype=np.int32)
+        label = np.empty(B, dtype=np.int32)
+        q_id = np.empty(B, dtype=np.int32)
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        rc = self._lib.vnr_batch(
+            self._handle, ptr(idx_arr), B, t_cap,
+            ctypes.c_uint64(self.seed), 0 if self.deterministic else epoch,
+            self.num_threads, ptr(video), ptr(v_len), ptr(q), ptr(q_len),
+            ptr(label), ptr(q_id))
+        if rc != 0:
+            raise RuntimeError(f"vnr_batch failed with status {rc}")
+        if n_valid < B:  # zero/sentinel padding like the test harness
+            video[n_valid:] = 0
+            v_len[n_valid:] = 1
+            q[n_valid:] = 0
+            q_len[n_valid:] = 1
+            label[n_valid:] = 0
+            q_id[n_valid:] = 35  # eval/q_and_v_test.py:86
+        return {"video": video, "v_len": v_len, "question": q, "q_len": q_len,
+                "label": label, "q_id": q_id, "num_valid": np.int32(n_valid)}
+
+    def epoch(self, epoch=0):
+        order = np.arange(self.n)
+        rs = np.random.RandomState((self.seed, epoch).__hash__() & 0x7FFFFFFF)
+        if self.shuffle:
+            rs.shuffle(order)
+        if self.bucket_by_length:
+            order = order[np.argsort(-self._lengths[order], kind="stable")]
+        starts = list(range(0, self.n, self.batch_size))
+        if self.mode != "test":
+            starts = [s for s in starts if s + self.batch_size <= self.n]
+        if self.bucket_by_length and self.shuffle:
+            rs.shuffle(starts)
+        for s in starts:
+            idxs = order[s: s + self.batch_size]
+            t_max = int(self._lengths[idxs].max())
+            if self.frame_buckets:
+                t_cap = min((t for t in self.frame_buckets if t >= t_max),
+                            default=C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
+            else:
+                t_cap = C.MAX_ALLOWED_NUM_FRAMES_DROPPING
+            yield self._load(idxs, t_cap, epoch)
