@@ -32,6 +32,7 @@ from videonavqa_tpu.train.step import (
 )
 from videonavqa_tpu.utils import checkpoint as ckpt
 from videonavqa_tpu.utils import constants as C
+from videonavqa_tpu.utils.logging import MetricsLogger, maybe_profile
 
 
 def add_common_args(parser: argparse.ArgumentParser):
@@ -44,6 +45,12 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--metrics_file", type=str, default=None,
+                        help="JSONL metrics stream (structured counterpart of "
+                             "the reference's stdout .log files)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the first training "
+                             "epoch here")
     return parser
 
 
@@ -167,6 +174,9 @@ class Harness:
 
         self.class_weights = None
         self.reduction = getattr(args, "loss_reduction", "mean") or "mean"
+        self.metrics = MetricsLogger(
+            getattr(args, "metrics_file", None),
+            run_meta={"model": model_name, "args": vars(args)})
 
     def dataset(self, part, *, q_metadata=False, deterministic=False):
         return VNQADataset(
@@ -201,6 +211,8 @@ class Harness:
             if train and (i + 1) % self.args.stats_after_every == 0:
                 print("Average loss after %d iterations in epoch %d: %.6f"
                       % (i + 1, epoch + 1, total_loss / max(num_examples, 1)))
+                self.metrics.log("train_progress", epoch=epoch, iteration=i + 1,
+                                 avg_loss=total_loss / max(num_examples, 1))
 
         y_pred = np.concatenate(y_pred) if y_pred else np.array([])
         y_target = np.concatenate(y_target) if y_target else np.array([])
@@ -212,6 +224,10 @@ class Harness:
             "y_pred": y_pred, "y_target": y_target,
             "examples_per_sec": num_examples / max(time.time() - t0, 1e-9),
         }
+        self.metrics.log("train_epoch" if train else "eval_epoch", epoch=epoch,
+                         loss=summary["loss"], accuracy=hit / max(num_examples, 1),
+                         f1_w=f1_w, f1_micro=f1_micro,
+                         examples_per_sec=summary["examples_per_sec"])
         return params, state, opt_state, summary, rng
 
     def print_val_summary(self, summary, *, header="Validation"):
@@ -230,8 +246,8 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     print("%d train examples, %d validation examples" % (len(train_ds), len(val_ds)))
 
     if getattr(args, "use_class_weights", False):
-        h.class_weights = jnp.asarray(train_ds.get_class_weights(h.cfg.num_classes))
-        print("Using class weights", np.asarray(h.class_weights))
+        h.class_weights = train_ds.get_class_weights(h.cfg.num_classes)
+        print("Using class weights", h.class_weights)
 
     # v_only_cnn3d's flatten geometry requires the full 35-frame volume
     bucket = getattr(args, "bucket_frames", False) and model_name != "v_only_cnn3d" \
@@ -291,9 +307,11 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
             opt_state = set_learning_rate(opt_state, lr)  # eval/q_and_v_eval.py:358-363
             print("learning rate %.5f" % lr)
         if not getattr(args, "val_only", False):
-            params, state, opt_state, summary, rng = h.run_epoch(
-                train_step, params, state, opt_state, train_loader, epoch,
-                train=True, rng=rng)
+            profile_dir = getattr(args, "profile_dir", None) if epoch == start_epoch else None
+            with maybe_profile(profile_dir):
+                params, state, opt_state, summary, rng = h.run_epoch(
+                    train_step, params, state, opt_state, train_loader, epoch,
+                    train=True, rng=rng)
             print("Train Epoch: {}\tAverage loss: {:.6f}\tAccuracy: {}/{}\t"
                   "F1: w{:.4f}, micro{:.4f}\t({:.2f} ex/s)\n".format(
                       epoch, summary["loss"], summary["hit"], summary["num_examples"],

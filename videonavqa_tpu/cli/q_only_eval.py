@@ -42,8 +42,10 @@ def main(argv=None):
     print("%d train examples, %d validation examples" % (len(train_ds), len(val_ds)))
 
     if args.use_class_weights:
-        h.class_weights = jnp.asarray(train_ds.get_class_weights(h.cfg.num_classes))
-        print("Using class weights", np.asarray(h.class_weights))
+        # stays host-side numpy; jit embeds it as a constant (device round-trips
+        # through the axon tunnel are pathologically slow for eager transfers)
+        h.class_weights = train_ds.get_class_weights(h.cfg.num_classes)
+        print("Using class weights", h.class_weights)
 
     train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                                num_workers=args.num_workers, seed=args.seed)
