@@ -34,8 +34,13 @@ from videonavqa_tpu.datagen.trajectory import TrajectoryObserver, add_lookaround
 
 
 def generate_house(house_idx, out_dir, engine, rng, nprng, *, trajs_per_house,
-                   num_rooms, verbose=False):
+                   num_rooms, verbose=False, resume=False):
+    """Generates one house. With ``resume``, houses whose question JSON already
+    exists are skipped (idempotent restartable generation — the reference's
+    skip-if-output-exists pattern, scripts/generate_questions_for_trajectories.py:68-72)."""
     house_id = f"synth{house_idx:04d}"
+    if resume and os.path.exists(os.path.join(engine.save_dir, house_id + ".json")):
+        return house_id, 0
     house = generate_synthetic_house(nprng, num_rooms=num_rooms)
     renderer = SyntheticRenderer(house)
     videos_dir = os.path.join(out_dir, "videos")
@@ -70,6 +75,8 @@ def main(argv=None):
     parser.add_argument("--num_rooms", type=int, default=4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip houses whose question JSON already exists")
     args = parser.parse_args(argv)
 
     questions_dir = os.path.join(args.out, "questions")
@@ -83,7 +90,7 @@ def main(argv=None):
         house_id, generated = generate_house(
             h, args.out, engine, rng, nprng,
             trajs_per_house=args.trajs_per_house, num_rooms=args.num_rooms,
-            verbose=args.verbose)
+            verbose=args.verbose, resume=args.resume)
         house_ids.append(house_id)
         total += generated
         print(f"{house_id}: {generated} examples")
@@ -91,10 +98,14 @@ def main(argv=None):
     write_labels(questions_dir,
                  os.path.join(args.out, "labels.json"),
                  os.path.join(args.out, "q_ids.json"))
-    encode_questions(questions_dir, os.path.join(args.out, "encoded_questions"))
+    vocab, _ = encode_questions(questions_dir, os.path.join(args.out, "encoded_questions"))
+    with open(os.path.join(args.out, "vocab.json"), "w") as f:
+        import json
+
+        json.dump(vocab, f)
     build_split(questions_dir, split_houses(house_ids, seed=args.seed),
                 os.path.join(args.out, "split.json"))
-    print(f"wrote {total} examples to {args.out}")
+    print(f"wrote {total} examples ({len(vocab)} vocab tokens) to {args.out}")
 
 
 if __name__ == "__main__":

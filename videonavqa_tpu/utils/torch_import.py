@@ -84,6 +84,41 @@ def layer_norm_from_torch(sd, prefix):
             "bias": jnp.asarray(sd[f"{prefix}.bias"])}
 
 
+def export_obj_detector_pt(params, state, path):
+    """Inverse of import_obj_detector: write a {'state_dict': ...} torch .pt so
+    detectors trained in this framework drop into the reference's
+    obj_detect.pt slot (eval/utils.py:42-51)."""
+    import torch
+
+    sd = {}
+
+    def put_bn(prefix, p, s):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.array(p["weight"]))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.array(p["bias"]))
+        sd[f"{prefix}.running_mean"] = torch.from_numpy(np.array(s["mean"]))
+        sd[f"{prefix}.running_var"] = torch.from_numpy(np.array(s["var"]))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+    def put_conv(prefix, p):
+        w = np.array(np.transpose(np.asarray(p["weight"]), (3, 2, 0, 1)))  # HWIO -> OIHW
+        sd[f"{prefix}.weight"] = torch.from_numpy(w)
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.array(p["bias"]))
+
+    def put_linear(prefix, p):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.array(p["weight"]))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.array(p["bias"]))
+
+    put_bn("bn_input", params["bn_input"], state["bn_input"])
+    for b in range(1, 4):
+        put_conv(f"conv{b}1", params[f"conv{b}1"])
+        put_conv(f"conv{b}2", params[f"conv{b}2"])
+        put_bn(f"bn{b}", params[f"bn{b}"], state[f"bn{b}"])
+    put_linear("fc_tail1", params["fc_tail1"])
+    put_bn("bn_tail1", params["bn_tail1"], state["bn_tail1"])
+    put_linear("fc_tail2", params["fc_tail2"])
+    torch.save({"state_dict": sd}, path)
+
+
 def import_vgg_partial(sd):
     """Map a torchvision-style VGG-16 state_dict (``features.N.*`` keys, as in
     vgg16_caffe.pth) onto the partial stem's four convs."""
