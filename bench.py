@@ -37,10 +37,16 @@ def main(argv=None):
     parser.add_argument("--model", type=str, default="film_attn_pt")
     parser.add_argument("--num_res_blocks", type=int, default=5)
     parser.add_argument("--num_res_block_channels", type=int, default=1024)
+    parser.add_argument("--mode", type=str, default="train", choices=["train", "eval"],
+                        help="train = full step (stem+fwd+bwd+adam); eval = "
+                             "inference forward only")
+    parser.add_argument("--use_pallas_kernels", type=lambda s: s.lower() == "true",
+                        default=False)
     args = parser.parse_args(argv)
 
     cfg = ModelConfig(model=args.model, num_res_blocks=args.num_res_blocks,
-                      num_res_block_channels=args.num_res_block_channels)
+                      num_res_block_channels=args.num_res_block_channels,
+                      use_pallas_kernels=args.use_pallas_kernels)
     spec = get_model(cfg.model)
     key = jax.random.PRNGKey(0)
 
@@ -53,8 +59,19 @@ def main(argv=None):
 
     optimizer = make_optimizer(1e-4)
     opt_state = optimizer.init(params)
-    step = make_train_step(spec, cfg, optimizer, reduction="sum", clip_value=1.0,
-                           stem_fn=stem_fn)
+    if args.mode == "train":
+        train_step = make_train_step(spec, cfg, optimizer, reduction="sum",
+                                     clip_value=1.0, stem_fn=stem_fn)
+
+        def step(params, state, opt_state, batch, rng):
+            return train_step(params, state, opt_state, batch, rng)
+    else:
+        from videonavqa_tpu.train.step import make_eval_step
+
+        eval_step = make_eval_step(spec, cfg, reduction="sum", stem_fn=stem_fn)
+
+        def step(params, state, opt_state, batch, rng):
+            return params, state, opt_state, eval_step(params, state, batch, rng)
 
     # Realistic epoch: video lengths ~ the dataset distribution (10-140 raw
     # frames -> v_len = ceil(/4) in [3, 35], scripts/trajectory_gen.py:31,
@@ -107,7 +124,7 @@ def main(argv=None):
 
     videos_per_sec = n_steps * B / dt
     print(json.dumps({
-        "metric": "film_attn_train_videos_per_sec_per_chip",
+        "metric": f"film_attn_{args.mode}_videos_per_sec_per_chip",
         "value": round(videos_per_sec, 2),
         "unit": "videos/s",
         "vs_baseline": round(videos_per_sec / P100_VIDEOS_PER_SEC, 2),

@@ -47,11 +47,13 @@ def generate_house(house_idx, out_dir, engine, rng, nprng, *, trajs_per_house,
     os.makedirs(videos_dir, exist_ok=True)
 
     generated = 0
+    trajectories = []
     for traj_id in range(trajs_per_house):
         scene = SceneGraph(house.rooms)  # fresh seen/visited state per trajectory
         a, b = nprng.choice(len(house.rooms), size=2, replace=False)
         coors = generate_path(house, int(a), int(b), nprng)
         coors = add_lookarounds(coors, scene)
+        trajectories.append(np.asarray(coors, dtype=np.float32))
 
         observer = TrajectoryObserver(scene, renderer)
         observer.observe(coors)
@@ -62,6 +64,13 @@ def generate_house(house_idx, out_dir, engine, rng, nprng, *, trajs_per_house,
         frames = observer.render_video(coors)
         _write_mp4(os.path.join(videos_dir, "%s_%04d.mp4" % (house_id, traj_id)), frames)
         generated += 1
+
+    # per-house trajectory archive (the reference's <house>_trajs.npy artifact,
+    # scripts/generate_trajectories.py:23-54)
+    traj_dir = os.path.join(out_dir, "trajectories")
+    os.makedirs(traj_dir, exist_ok=True)
+    np.save(os.path.join(traj_dir, house_id + ".npy"),
+            np.array(trajectories, dtype=object), allow_pickle=True)
 
     engine.dump_dataset(house_id)
     return house_id, generated
