@@ -190,12 +190,20 @@ class Harness:
 
     def run_epoch(self, step_fn, params, state, opt_state, loader, epoch, *,
                   train, rng):
+        from videonavqa_tpu.data.prefetch import device_prefetch
+
         t0 = time.time()
         total_loss, hit, num_examples = 0.0, 0, 0
         y_pred, y_target = [], []
-        for i, np_batch in enumerate(loader.epoch(epoch)):
+
+        def prepare(np_batch):
             labels_np = np_batch["label"]
             batch, num_valid = prepare_batch(np_batch)
+            return batch, num_valid, labels_np
+
+        # stay one host->HBM transfer ahead of the running step
+        for i, (batch, num_valid, labels_np) in enumerate(
+                device_prefetch(loader.epoch(epoch), prepare)):
             rng, sub = jax.random.split(rng)
             if train:
                 params, state, opt_state, metrics = step_fn(
@@ -317,7 +325,7 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
                       epoch, summary["loss"], summary["hit"], summary["num_examples"],
                       summary["f1_w"], summary["f1_micro"], summary["examples_per_sec"]))
             if args.checkpoint_path:
-                ckpt.save_checkpoint(
+                ckpt.save_checkpoint_async(
                     ckpt.epoch_path(args.checkpoint_path, epoch),
                     params=params, state=state, opt_state=opt_state,
                     meta={"epoch": epoch, "model": model_name,
@@ -325,6 +333,7 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         _, _, _, val_summary, rng = h.run_epoch(
             eval_step, params, state, opt_state, val_loader, epoch, train=False, rng=rng)
         h.print_val_summary(val_summary)
+    ckpt.wait_for_pending_saves()
     return params, state
 
 

@@ -52,7 +52,8 @@ def unflatten_like(template, flat, prefix=""):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def save_checkpoint(path, *, params, state=None, opt_state=None, meta=None):
+def _gather_flat(params, state, opt_state, meta):
+    """Device->host snapshot of all leaves (safe against later donation)."""
     flat = flatten_tree(params, "params/")
     if state is not None:
         flat.update(flatten_tree(state, "state/"))
@@ -60,12 +61,20 @@ def save_checkpoint(path, *, params, state=None, opt_state=None, meta=None):
         flat.update(flatten_tree(opt_state, "opt/"))
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode("utf-8"), dtype=np.uint8)
+    return flat
+
+
+def _write_flat(path, flat):
     buf = io.BytesIO()
     np.savez(buf, **flat)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(buf.getvalue())
     os.replace(tmp, path)  # atomic even against mid-write failures
+
+
+def save_checkpoint(path, *, params, state=None, opt_state=None, meta=None):
+    _write_flat(path, _gather_flat(params, state, opt_state, meta))
 
 
 def load_checkpoint(path, *, params_template, state_template=None, opt_template=None):
@@ -88,3 +97,36 @@ def epoch_path(checkpoint_path: str, epoch: int) -> str:
     """'e{N}_' prefix on the basename (eval/q_and_v_eval.py:156)."""
     d, b = os.path.split(checkpoint_path)
     return os.path.join(d, f"e{epoch}_{b}")
+
+
+# ---------------------------------------------------------------------------
+# Async checkpointing: the device->host gather + npz write run on a single
+# background worker so the training loop never blocks on IO (orbax-style;
+# the reference's torch.save blocks the epoch loop, eval/q_and_v_eval.py:69-70).
+# ---------------------------------------------------------------------------
+
+_pending = []
+_executor = None
+
+
+def save_checkpoint_async(path, *, params, state=None, opt_state=None, meta=None):
+    """Snapshot device arrays to host *now* (so later buffer donation can't
+    race the save), then serialize + write on the background worker."""
+    global _executor
+    from concurrent.futures import ThreadPoolExecutor
+
+    flat = _gather_flat(params, state, opt_state, meta)
+    if _executor is None:
+        _executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+    fut = _executor.submit(_write_flat, path, flat)
+    _pending.append(fut)
+    return fut
+
+
+def wait_for_pending_saves():
+    """Block until all queued async saves are durably on disk; re-raises the
+    first failure."""
+    global _pending
+    pending, _pending = _pending, []
+    for fut in pending:
+        fut.result()
