@@ -90,6 +90,11 @@ def build_q_and_v_parser():
     parser.add_argument("--use_vnr", type=lambda s: s.lower() == "true", default=False,
                         help="feed batches through the native C++ VNR loader "
                              "({split}.vnr files; see cli.pack_dataset)")
+    parser.add_argument("--int8_stem", type=lambda s: s.lower() == "true", default=False,
+                        help="run the frozen stem in int8 (calibrated on the "
+                             "first training batch; ~26%% faster stem on v5e, "
+                             "~2%% feature error — validate accuracy before "
+                             "paper-comparable runs)")
     return parser
 
 
@@ -112,9 +117,12 @@ def cfg_from_args(args, model_name):
     )
 
 
-def load_stem(args, paths: DataPaths):
+def load_stem(args, paths: DataPaths, calibration_video=None):
     """Frozen stem params: imported from vgg16_caffe.pth / obj_detect.pt when
-    available, else a seeded random init (synthetic-data runs)."""
+    available, else a seeded random init (synthetic-data runs).
+
+    With --int8_stem and a calibration batch, returns the int8 stem
+    (stem/quant.py); otherwise the bf16 stem."""
     from videonavqa_tpu.stem import init_obj_detector, init_vgg_partial, stem_features
     from videonavqa_tpu.utils import torch_import as ti
 
@@ -131,6 +139,21 @@ def load_stem(args, paths: DataPaths):
     else:
         print("=> No obj_detect.pt found - using random object detector")
         det_params, det_state = init_obj_detector(key)
+
+    if getattr(args, "int8_stem", False) and calibration_video is not None:
+        from videonavqa_tpu.stem.quant import (
+            calibrate_act_scales, quantize_stem, stem_features_int8,
+        )
+
+        print("=> Calibrating int8 stem on one batch")
+        scales = calibrate_act_scales(vgg_params, det_params, det_state,
+                                      calibration_video)
+        qstem = quantize_stem(vgg_params, det_params, act_scales=scales)
+
+        def stem_fn(video):
+            return stem_features_int8(qstem, det_params, det_state, video)
+
+        return stem_fn
 
     def stem_fn(video):
         return stem_features(vgg_params, det_params, det_state, video)
@@ -168,9 +191,12 @@ class Harness:
         self.split, self.labels = split, labels
 
         self.stem_fn = None
-        use_stem = self.spec.uses_stem if use_stem is None else use_stem
-        if use_stem and getattr(args, "use_visual_features", True):
+        self.needs_stem = (self.spec.uses_stem if use_stem is None else use_stem) \
+            and getattr(args, "use_visual_features", True)
+        if self.needs_stem and not getattr(args, "int8_stem", False):
             self.stem_fn = load_stem(args, self.paths)
+        # int8 stems are built lazily once a calibration batch is available
+        # (see run_training / run_test)
 
         self.class_weights = None
         self.reduction = getattr(args, "loss_reduction", "mean") or "mean"
@@ -283,6 +309,11 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         val_loader = BatchLoader(val_ds, args.batch_size, shuffle=False, mode="val",
                                  **loader_kw)
 
+    if h.needs_stem and h.stem_fn is None:  # int8: calibrate on one batch
+        first = next(iter(train_loader.epoch(0)))
+        calib = jnp.asarray(first["video"]).astype(jnp.float32) / 255.0
+        h.stem_fn = load_stem(args, h.paths, calibration_video=calib)
+
     params, state = h.init_model()
     optimizer = make_optimizer(args.l_rate)
     opt_state = optimizer.init(params)
@@ -353,6 +384,11 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
     state = state_r if state_r is not None else state
     if "val_acc" in meta:
         print("=> Restored checkpoint with val acc %s" % meta["val_acc"])
+
+    if h.needs_stem and h.stem_fn is None:  # int8: calibrate on one batch
+        first = next(iter(loader.epoch(0)))
+        calib = jnp.asarray(first["video"]).astype(jnp.float32) / 255.0
+        h.stem_fn = load_stem(args, h.paths, calibration_video=calib)
 
     eval_step = make_eval_step(h.spec, h.cfg, class_weights=h.class_weights,
                                reduction=h.reduction, stem_fn=h.stem_fn)
