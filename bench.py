@@ -42,6 +42,7 @@ def main(argv=None):
                              "inference forward only")
     parser.add_argument("--use_pallas_kernels", type=lambda s: s.lower() == "true",
                         default=False)
+    parser.add_argument("--int8_stem", type=lambda s: s.lower() == "true", default=False)
     args = parser.parse_args(argv)
 
     cfg = ModelConfig(model=args.model, num_res_blocks=args.num_res_blocks,
@@ -54,8 +55,20 @@ def main(argv=None):
     vgg_params = init_vgg_partial(key)
     det_params, det_state = init_obj_detector(key)
 
-    def stem_fn(video):
-        return stem_features(vgg_params, det_params, det_state, video)
+    if args.int8_stem:
+        from videonavqa_tpu.stem.quant import (
+            calibrate_act_scales, quantize_stem, stem_features_int8,
+        )
+
+        calib = jax.random.uniform(key, (8, 20, 160, 208, 3), jnp.float32)
+        scales = calibrate_act_scales(vgg_params, det_params, det_state, calib)
+        qstem = quantize_stem(vgg_params, det_params, act_scales=scales)
+
+        def stem_fn(video):
+            return stem_features_int8(qstem, det_params, det_state, video)
+    else:
+        def stem_fn(video):
+            return stem_features(vgg_params, det_params, det_state, video)
 
     optimizer = make_optimizer(1e-4)
     opt_state = optimizer.init(params)
