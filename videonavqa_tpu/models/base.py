@@ -75,16 +75,6 @@ class ModelSpec:
 MODEL_REGISTRY: dict[str, ModelSpec] = {}
 
 
-def register(name, *, needs_video, needs_question, uses_stem):
-    def wrap(initfn):
-        def wrap_apply(applyfn):
-            MODEL_REGISTRY[name] = ModelSpec(
-                name, initfn, applyfn, needs_video, needs_question, uses_stem)
-            return applyfn
-        return wrap_apply
-    return wrap
-
-
 def register_model(name, init_fn, apply_fn, *, needs_video, needs_question, uses_stem):
     MODEL_REGISTRY[name] = ModelSpec(
         name, init_fn, apply_fn, needs_video, needs_question, uses_stem)

@@ -15,23 +15,11 @@ Gradient-clipping semantics (eval/q_and_v_eval.py:136-138,348-351):
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
 
 from videonavqa_tpu.train.loss import cross_entropy_loss
-
-
-@dataclasses.dataclass
-class TrainState:
-    params: Any
-    state: Any       # BN running stats etc.
-    opt_state: Any
-    epoch: int = 0
 
 
 def make_optimizer(l_rate: float):
