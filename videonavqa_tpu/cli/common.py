@@ -373,8 +373,19 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
     h = Harness(args, model_name, q_only=q_only, v_only=v_only)
     test_ds = h.dataset("test", q_metadata=True, deterministic=True)
     print("%d test examples" % len(test_ds))
-    loader = BatchLoader(test_ds, args.batch_size, shuffle=False, mode="test",
-                         num_workers=args.num_workers, seed=args.seed)
+    if getattr(args, "use_vnr", False) and not q_only:
+        from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built, pack_dataset
+
+        ensure_built()
+        path = os.path.join(args.data_dir, "test.vnr")
+        if not os.path.exists(path):
+            print(f"=> Packing test split into {path}")
+            pack_dataset(args.data_dir, path, h.split["test"])
+        loader = VNRBatchLoader(path, args.batch_size, shuffle=False, mode="test",
+                                deterministic=True, seed=args.seed)
+    else:
+        loader = BatchLoader(test_ds, args.batch_size, shuffle=False, mode="test",
+                             num_workers=args.num_workers, seed=args.seed)
 
     params, state = h.init_model()
     if not args.checkpoint_path or not os.path.exists(args.checkpoint_path):
