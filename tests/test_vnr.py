@@ -77,6 +77,21 @@ def test_deterministic_and_epoch_varied_subsampling(packed):
     assert not np.array_equal(r1["video"], r2["video"])
 
 
+def test_thread_count_invariance(packed):
+    """Batch assembly must be deterministic regardless of thread-pool size
+    (per-(seed, example, epoch) RNG, no cross-thread state)."""
+    _, out, ids = packed
+    batches = {}
+    for nt in (1, 4, 8):
+        loader = VNRBatchLoader(out, batch_size=len(ids), shuffle=False,
+                                num_threads=nt, deterministic=True)
+        batches[nt] = next(iter(loader.epoch(0)))
+        loader.close()
+    for nt in (4, 8):
+        for k in ("video", "question", "v_len", "label"):
+            np.testing.assert_array_equal(batches[1][k], batches[nt][k])
+
+
 def test_bucketed_trimming_and_test_padding(packed):
     _, out, ids = packed
     loader = VNRBatchLoader(out, batch_size=2, shuffle=True, seed=3,

@@ -51,6 +51,10 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of the first training "
                              "epoch here")
+    parser.add_argument("--jax_cache_dir", type=str, default=None,
+                        help="persistent XLA compilation cache directory "
+                             "(first compiles are 20-40s; cached runs start "
+                             "instantly)")
     return parser
 
 
@@ -174,9 +178,17 @@ def prepare_batch(batch):
     return batch, num_valid
 
 
+def _maybe_enable_compile_cache(args):
+    cache_dir = getattr(args, "jax_cache_dir", None)
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 class Harness:
     def __init__(self, args, model_name, *, q_only=False, v_only=False,
                  clip_value=None, use_stem=None):
+        _maybe_enable_compile_cache(args)
         self.args = args
         self.paths = DataPaths(args.data_dir)
         self.spec = get_model(model_name)
