@@ -239,6 +239,18 @@ class Harness:
             batch, num_valid = prepare_batch(np_batch)
             return batch, num_valid, labels_np
 
+        pending = None  # metrics fetched one step late so device work pipelines
+
+        def drain(pending):
+            nonlocal total_loss, hit, num_examples
+            metrics, num_valid, labels_np = pending
+            preds = np.asarray(metrics["preds"])[:num_valid]
+            total_loss += float(metrics["loss"])
+            hit += int(np.sum(preds == labels_np[:num_valid]))
+            num_examples += num_valid
+            y_pred.append(preds)
+            y_target.append(labels_np[:num_valid])
+
         # stay one host->HBM transfer ahead of the running step
         for i, (batch, num_valid, labels_np) in enumerate(
                 device_prefetch(loader.epoch(epoch), prepare)):
@@ -248,17 +260,16 @@ class Harness:
                     params, state, opt_state, batch, sub)
             else:
                 metrics = step_fn(params, state, batch, sub)
-            preds = np.asarray(metrics["preds"])[:num_valid]
-            total_loss += float(metrics["loss"])
-            hit += int(np.sum(preds == labels_np[:num_valid]))
-            num_examples += num_valid
-            y_pred.append(preds)
-            y_target.append(labels_np[:num_valid])
+            if pending is not None:
+                drain(pending)
+            pending = (metrics, num_valid, labels_np)
             if train and (i + 1) % self.args.stats_after_every == 0:
                 print("Average loss after %d iterations in epoch %d: %.6f"
                       % (i + 1, epoch + 1, total_loss / max(num_examples, 1)))
                 self.metrics.log("train_progress", epoch=epoch, iteration=i + 1,
                                  avg_loss=total_loss / max(num_examples, 1))
+        if pending is not None:
+            drain(pending)
 
         y_pred = np.concatenate(y_pred) if y_pred else np.array([])
         y_target = np.concatenate(y_target) if y_target else np.array([])
