@@ -139,6 +139,35 @@ def test_generator_timeout():
         gen.generate_example(q_id, 10, deadline=time.perf_counter() + 0.3)
 
 
+def test_numpy_bbox_answers_json_serializable():
+    """comp_rel over numpy-float bboxes (synthetic houses use np.random
+    coordinates) must yield builtin bools that json.dumps accepts."""
+    import time
+
+    rooms = [HouseRoom(types=["kitchen"], bbox=_box(0, 0, 8, 8, 2.5), objects=[
+        HouseObject("n0", "table",
+                    {"min": list(np.float64([1, 0, 1])),
+                     "max": list(np.float64([3, 1.5, 3]))}, color="blue"),
+        HouseObject("n1", "table",
+                    {"min": list(np.float64([5, 0, 5])),
+                     "max": list(np.float64([5.5, 0.5, 5.5]))}, color="green"),
+    ])]
+    scene = SceneGraph(rooms)
+    for room in scene.rooms():
+        scene.mark_visited(room)
+        for slot in room["objects"].values():
+            for o in slot["obj_list"]:
+                o["seen"] = True
+
+    gen = QuestionGenerator(scene, random.Random(0))
+    q_id = SORTED_TEMPLATE_KEYS.index(
+        "Is the <attr1> <obj_type> <comp_rel> than the <attr2> one?")
+    q_text, q_ans = gen.generate_example(q_id, True,
+                                         deadline=time.perf_counter() + 5.0)
+    assert type(q_ans) is bool and q_ans is True
+    json.dumps({"q_text": q_text, "q_ans": q_ans})
+
+
 def test_text_realization():
     tags = {
         "attr": {"value": ["blue"], "type": ["color"]},

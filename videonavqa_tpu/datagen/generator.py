@@ -45,6 +45,18 @@ class GenerationTimeout(Exception):
     """Deadline exceeded while searching for a valid instantiation."""
 
 
+def _to_python(value):
+    """Normalize numpy scalars leaking in from bbox math (np.bool_/np.integer)
+    so answers JSON-serialize and type checks see builtin bool/int."""
+    import numpy as np
+
+    if isinstance(value, np.bool_):
+        return bool(value)
+    if isinstance(value, np.integer):
+        return int(value)
+    return value
+
+
 def _strip_pl(s):
     return s[:-3] if s.endswith("-pl") else s
 
@@ -404,7 +416,7 @@ class QuestionGenerator:
                 results = self._eval_tree(spec)
             except GenerationError:
                 continue
-            result = results[-1]
+            result = _to_python(results[-1])
             if self._check_answer(result) and \
                self._check_counts(spec, result) and \
                self._check_all_rooms_of_type_visited(spec, result) and \
