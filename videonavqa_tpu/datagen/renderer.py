@@ -161,21 +161,61 @@ class SyntheticRenderer:
         self.rgb_to_obj = RGB_TO_OBJECT
 
     def _cast(self, pose):
-        """Returns per-column (hit_object | None, distance)."""
+        """Returns per-column (hit_object | None, distance), vectorized over
+        columns x objects (slab-method ray/AABB in the floor plane)."""
         x, _, z, yaw = pose
         yaw_r = math.radians(yaw)
-        hits = []
+        W = self.width
+        ang = yaw_r + self.fov * (np.arange(W) / (W - 1) - 0.5)
+        d = np.stack([np.cos(ang), np.sin(ang)], axis=1)  # [W, 2]
+        origin = np.array([x, z])
+
+        boxes = self._object_boxes()  # ([N,2] mins, [N,2] maxs) in (x, z)
+        if boxes is not None:
+            mins, maxs = boxes
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = np.where(np.abs(d) > 1e-9, 1.0 / d, np.inf)  # [W,2]
+                t1 = (mins[None] - origin) * inv[:, None, :]  # [W,N,2]
+                t2 = (maxs[None] - origin) * inv[:, None, :]
+            lo = np.minimum(t1, t2)
+            hi = np.maximum(t1, t2)
+            # parallel rays: inside the slab -> (-inf, inf), outside -> miss
+            inside = (origin >= mins) & (origin <= maxs)  # [N,2]
+            parallel = np.abs(d)[:, None, :] <= 1e-9      # [W,1,2] -> broadcast [W,N,2]
+            lo = np.where(parallel, np.where(inside[None], -np.inf, np.inf), lo)
+            hi = np.where(parallel, np.where(inside[None], np.inf, -np.inf), hi)
+            tmin = np.maximum(lo[..., 0], lo[..., 1])
+            tmax = np.minimum(hi[..., 0], hi[..., 1])
+            tmin = np.maximum(tmin, 0.0)
+            t_entry = np.where((tmin <= tmax) & (tmin > 1e-6), tmin, np.inf)  # [W,N]
+            obj_idx = np.argmin(t_entry, axis=1)
+            obj_t = t_entry[np.arange(W), obj_idx]
+        else:
+            obj_idx = np.zeros(W, dtype=np.int64)
+            obj_t = np.full(W, np.inf)
+
         bounds = self._house_bounds()
-        for col in range(self.width):
-            ang = yaw_r + self.fov * (col / (self.width - 1) - 0.5)
-            d = np.array([math.cos(ang), math.sin(ang)])
-            best, best_t = None, self._wall_distance(x, z, d, bounds)
-            for obj in self.house.objects:
-                t = _ray_aabb_2d(x, z, d, obj.bbox)
-                if t is not None and t < best_t:
-                    best, best_t = obj, t
-            hits.append((best, min(best_t, self.max_depth)))
+        wall_t = np.array([self._wall_distance(x, z, d[c], bounds) for c in range(W)])
+
+        hits = []
+        for c in range(W):
+            if obj_t[c] < wall_t[c]:
+                hits.append((self.house.objects[obj_idx[c]],
+                             min(float(obj_t[c]), self.max_depth)))
+            else:
+                hits.append((None, min(float(wall_t[c]), self.max_depth)))
         return hits
+
+    def _object_boxes(self):
+        if not self.house.objects:
+            return None
+        if not hasattr(self, "_boxes_cache"):
+            mins = np.array([[o.bbox["min"][0], o.bbox["min"][2]]
+                             for o in self.house.objects])
+            maxs = np.array([[o.bbox["max"][0], o.bbox["max"][2]]
+                             for o in self.house.objects])
+            self._boxes_cache = (mins, maxs)
+        return self._boxes_cache
 
     def _house_bounds(self):
         mins = np.min([r.bbox["min"] for r in self.house.rooms], axis=0)
