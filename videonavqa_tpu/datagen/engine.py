@@ -126,7 +126,9 @@ class QuestionEngine:
             return None
         os.makedirs(self.save_dir, exist_ok=True)
         path = os.path.join(self.save_dir, house_id + ".json")
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.dataset, f)
+        os.replace(tmp, path)  # atomic: resume never sees partial files
         self.dataset = {}
         return path
