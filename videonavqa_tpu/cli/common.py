@@ -55,6 +55,11 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="persistent XLA compilation cache directory "
                              "(first compiles are 20-40s; cached runs start "
                              "instantly)")
+    parser.add_argument("--stochastic_eval", type=lambda s: s.lower() == "true",
+                        default=False,
+                        help="re-randomize frame subsampling at val/test time "
+                             "like the reference (eval/dataset.py:80-89; "
+                             "nondeterministic metrics — see PARITY.md #13)")
     return parser
 
 
@@ -217,6 +222,8 @@ class Harness:
             run_meta={"model": model_name, "args": vars(args)})
 
     def dataset(self, part, *, q_metadata=False, deterministic=False):
+        if getattr(self.args, "stochastic_eval", False):
+            deterministic = False  # faithful reference eval (PARITY.md #13)
         return VNQADataset(
             self.paths, self.split[part], self.labels, q_only=self.q_only,
             v_only=self.v_only, q_metadata=q_metadata,
@@ -316,7 +323,8 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         vnr_kw = dict(seed=args.seed, bucket_by_length=bucket,
                       frame_buckets=True if bucket else None)
         loaders = {}
-        for part, det in (("train", False), ("val", True)):
+        stochastic = getattr(args, "stochastic_eval", False)
+        for part, det in (("train", False), ("val", not stochastic)):
             path = os.path.join(args.data_dir, f"{part}.vnr")
             if not os.path.exists(path):
                 print(f"=> Packing {part} split into {path}")
@@ -404,8 +412,10 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
         if not os.path.exists(path):
             print(f"=> Packing test split into {path}")
             pack_dataset(args.data_dir, path, h.split["test"])
-        loader = VNRBatchLoader(path, args.batch_size, shuffle=False, mode="test",
-                                deterministic=True, seed=args.seed)
+        loader = VNRBatchLoader(
+            path, args.batch_size, shuffle=False, mode="test",
+            deterministic=not getattr(args, "stochastic_eval", False),
+            seed=args.seed)
     else:
         loader = BatchLoader(test_ds, args.batch_size, shuffle=False, mode="test",
                              num_workers=args.num_workers, seed=args.seed)

@@ -112,9 +112,13 @@ def film_values_over_frames(params, q, q_lens, num_frames, cfg, *, padding_idx):
     emb = embedding(params["embed"], q, padding_idx=padding_idx)
     if cfg.q_encoder == "lstm":
         h0 = jnp.zeros((B, cfg.hidden_size), emb.dtype)
+        # the token projection is identical for all 35 re-encodes — hoist it
+        xw = linear({"weight": params["encoder"]["w_ih"],
+                     "bias": params["encoder"]["b_ih"]}, emb)
 
         def frame_step(carry, _):
-            outs, carry = lstm(params["encoder"], emb, q_lens, *carry)
+            outs, carry = lstm(params["encoder"], emb, q_lens, *carry,
+                               precomputed_xw=xw)
             return carry, last_valid(outs, q_lens)
 
         _, finals = jax.lax.scan(frame_step, (h0, h0), None, length=num_frames)

@@ -65,12 +65,15 @@ def _film_values_all_frames(params, q, q_lens, num_frames, cfg):
     B = q.shape[0]
     emb = embedding(params["embed"], q, padding_idx=0)
     h0 = jnp.zeros((B, cfg.hidden_size), emb.dtype)
+    xw = linear({"weight": params["q_encoder"]["w_ih"],
+                 "bias": params["q_encoder"]["b_ih"]}, emb)
     # softmax over words runs to the batch's max q_len (torch pad_packed width)
     word_mask = jnp.where(
         jnp.arange(q.shape[1])[None, :] < jnp.max(q_lens), 0.0, -jnp.inf)
 
     def frame_step(carry, _):
-        rnn_states, carry = lstm(params["q_encoder"], emb, q_lens, *carry)  # [B,Tq,H]
+        rnn_states, carry = lstm(params["q_encoder"], emb, q_lens, *carry,
+                                 precomputed_xw=xw)  # [B,Tq,H]
         encoded = layer_norm(params["encoder_norm"], last_valid(rnn_states, q_lens))
 
         h = encoded  # context vector, re-initialized per frame (:157)

@@ -36,12 +36,15 @@ def lstm_cell(params, x, h, c):
     return h_new, c_new
 
 
-def lstm(params, x, lens, h0=None, c0=None):
+def lstm(params, x, lens, h0=None, c0=None, *, precomputed_xw=None):
     """Masked LSTM over x: [B, T, E] with per-example lengths [B].
 
     Returns (outputs [B, T, H] zero-padded beyond lens, (h_final, c_final)) with
     packed-sequence semantics. (h0, c0) defaults to zeros (the harness-level
     init_hidden, eval/q_and_v_eval.py:119-120).
+
+    ``precomputed_xw`` ([B, T, 4H] = x @ W_ih^T + b_ih) lets callers that scan
+    the same sequence repeatedly (the FiLM frame loop) hoist the projection.
     """
     B, T, _ = x.shape
     H = params["w_hh"].shape[1]
@@ -51,7 +54,8 @@ def lstm(params, x, lens, h0=None, c0=None):
         c0 = jnp.zeros((B, H), x.dtype)
 
     # One big MXU matmul for all timesteps' input projections.
-    xw = _linear({"weight": params["w_ih"], "bias": params["b_ih"]}, x)  # [B,T,4H]
+    xw = precomputed_xw if precomputed_xw is not None else _linear(
+        {"weight": params["w_ih"], "bias": params["b_ih"]}, x)  # [B,T,4H]
     xw_t = jnp.moveaxis(xw, 1, 0)  # [T,B,4H]
     t_steps = jnp.arange(T)
 
