@@ -43,11 +43,13 @@ def main(argv=None):
     parser.add_argument("--use_pallas_kernels", type=lambda s: s.lower() == "true",
                         default=False)
     parser.add_argument("--int8_stem", type=lambda s: s.lower() == "true", default=False)
+    parser.add_argument("--remat", type=lambda s: s.lower() == "true", default=False)
     args = parser.parse_args(argv)
 
     cfg = ModelConfig(model=args.model, num_res_blocks=args.num_res_blocks,
                       num_res_block_channels=args.num_res_block_channels,
-                      use_pallas_kernels=args.use_pallas_kernels)
+                      use_pallas_kernels=args.use_pallas_kernels,
+                      remat_film_blocks=args.remat)
     spec = get_model(cfg.model)
     key = jax.random.PRNGKey(0)
 

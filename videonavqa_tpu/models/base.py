@@ -55,6 +55,10 @@ class ModelConfig:
     # Use the fused Pallas recurrence kernels on the inference path (the
     # training path always uses XLA scans for autodiff).
     use_pallas_kernels: bool = False
+    # Rematerialize FiLM residual blocks in the backward pass (jax.checkpoint):
+    # trades ~25% extra trunk FLOPs for ~NxC activation memory, unlocking
+    # batch 64+ at the eval.sh preset on a 16GB v5e.
+    remat_film_blocks: bool = False
     # Parity registers (SURVEY §8): the reference's FiLM 1x1-conv skip layers are
     # invisible to the optimizer/state_dict (defect 9). False (default) makes
     # them ordinary trainable params; True freezes them at init for strict

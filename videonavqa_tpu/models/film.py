@@ -74,16 +74,23 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     x = x.reshape(B * T, *x.shape[2:])
 
     fv = film_values.reshape(B * T, -1)
+
+    def block(k, x, p1x1, p3x3, alphas, betas):
+        res = jax.nn.relu(conv2d(p1x1, x, dtype=dtype))
+        y = conv2d(p3x3, res, dtype=dtype)
+        y = jax.nn.relu(alphas[:, None, None, :] * y + betas[:, None, None, :])
+        return y + res
+
+    if cfg.remat_film_blocks:
+        block = jax.checkpoint(block, static_argnums=(0,))
+
     for k in range(cfg.num_res_blocks):
         p1x1 = params[f"conv1x1_{k}"]
         if cfg.freeze_film_conv1x1:
             p1x1 = jax.lax.stop_gradient(p1x1)
-        res = jax.nn.relu(conv2d(p1x1, x, dtype=dtype))
-        y = conv2d(params[f"conv3x3_{k}"], res, dtype=dtype)
-        alphas = fv[:, 2 * k * ch: 2 * k * ch + ch]
-        betas = fv[:, 2 * k * ch + ch: 2 * (k + 1) * ch]
-        y = jax.nn.relu(alphas[:, None, None, :] * y + betas[:, None, None, :])
-        x = y + res
+        x = block(k, x, p1x1, params[f"conv3x3_{k}"],
+                  fv[:, 2 * k * ch: 2 * k * ch + ch],
+                  fv[:, 2 * k * ch + ch: 2 * (k + 1) * ch])
     return x.reshape(B, T, *x.shape[1:]), new_state
 
 
