@@ -65,12 +65,16 @@ class SyntheticHouse:
 
 def generate_synthetic_house(rng: np.random.RandomState, *, num_rooms=4,
                              objects_per_room=(2, 6), room_size=6.0):
-    """A 1xN strip of square rooms, each with a few colored box objects."""
+    """A 1xN strip of rooms with varied widths (so room-size-comparison
+    questions have both answers), each with a few colored box objects."""
     rooms, all_objects, grid = [], [], {}
     obj_classes = OBJ_CLASS_CHOICES
     node_counter = 0
+    widths = rng.uniform(0.75 * room_size, 1.45 * room_size, size=num_rooms)
+    x_edges = np.concatenate([[0.0], np.cumsum(widths)])
     for gx in range(num_rooms):
-        x0, z0 = gx * room_size, 0.0
+        x0, z0 = float(x_edges[gx]), 0.0
+        room_w = float(widths[gx])
         if rng.rand() < 0.15:
             types = COMPOSITE_ROOM_CHOICES[rng.randint(len(COMPOSITE_ROOM_CHOICES))].split("|")
         else:
@@ -79,7 +83,7 @@ def generate_synthetic_house(rng: np.random.RandomState, *, num_rooms=4,
         for _ in range(rng.randint(objects_per_room[0], objects_per_room[1] + 1)):
             w, d = rng.uniform(0.4, 1.4, size=2)
             h = rng.uniform(0.4, 1.8)
-            ox = rng.uniform(x0 + 0.7, x0 + room_size - 0.7 - w)
+            ox = rng.uniform(x0 + 0.7, x0 + room_w - 0.7 - w)
             oz = rng.uniform(z0 + 0.7, z0 + room_size - 0.7 - d)
             obj = HouseObject(
                 node=f".0_{node_counter}",
@@ -102,7 +106,7 @@ def generate_synthetic_house(rng: np.random.RandomState, *, num_rooms=4,
             all_objects.append(door)
         rooms.append(HouseRoom(
             types=types,
-            bbox={"min": [x0, 0.0, z0], "max": [x0 + room_size, 2.5, z0 + room_size]},
+            bbox={"min": [x0, 0.0, z0], "max": [x0 + room_w, 2.5, z0 + room_size]},
             objects=objs))
         grid[(gx, 0)] = len(rooms) - 1
     return SyntheticHouse(rooms=rooms, objects=all_objects, room_grid=grid,
