@@ -198,6 +198,30 @@ def test_tokenizer_matches_reference_regex():
                     "what's", "here", "?"]
 
 
+def test_engine_answer_balancing(tmp_path):
+    """Bool templates must alternate True/False via the under-represented-answer
+    rule (scripts/engine.py:148-168); duplicates are dropped."""
+    from videonavqa_tpu.datagen.engine import QuestionEngine
+
+    engine = QuestionEngine(str(tmp_path), random.Random(0))
+    key = "Is there <art> <attr> <obj_type>?"
+    assert engine._required_answers(key) == [True]  # 0/0 tie -> True first
+    engine.question_set[key]["ans_distribution"][True] = 2
+    assert engine._required_answers(key) == [False]
+    engine.question_set[key]["ans_distribution"][False] = 3
+    assert engine._required_answers(key) == [True]
+
+    count_key = "How many <obj_type-pl> are <attr>?"
+    engine.question_set[count_key]["ans_distribution"][1] = 5
+    order = engine._required_answers(count_key)
+    assert order[0] != 1 and order[-1] == 1  # most-used count goes last
+    assert sorted(order) == list(range(1, 11))
+
+    assert engine._write_example(0, 11, "Is there a table?", True, key, {})
+    assert not engine._write_example(1, 11, "Is there a table?", True, key, {})
+    assert engine.question_set[key]["ans_distribution"][True] == 3
+
+
 def test_full_synthetic_generation_pipeline(tmp_path):
     from videonavqa_tpu.cli import generate_dataset
 
