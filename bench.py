@@ -44,6 +44,8 @@ def main(argv=None):
                         default=False)
     parser.add_argument("--int8_stem", type=lambda s: s.lower() == "true", default=False)
     parser.add_argument("--remat", type=lambda s: s.lower() == "true", default=False)
+    parser.add_argument("--stem_chunk", type=int, default=None,
+                        help="lax.map the stem over frame chunks (memory cap for b64+)")
     args = parser.parse_args(argv)
 
     cfg = ModelConfig(model=args.model, num_res_blocks=args.num_res_blocks,
@@ -70,7 +72,8 @@ def main(argv=None):
             return stem_features_int8(qstem, det_params, det_state, video)
     else:
         def stem_fn(video):
-            return stem_features(vgg_params, det_params, det_state, video)
+            return stem_features(vgg_params, det_params, det_state, video,
+                                 frame_chunk=args.stem_chunk)
 
     optimizer = make_optimizer(1e-4)
     opt_state = optimizer.init(params)

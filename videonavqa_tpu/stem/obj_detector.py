@@ -99,7 +99,8 @@ def obj_detector(params, state, x, *, train=False, logits=True, dropout_rng=None
     return out, new_state
 
 
-def stem_features(vgg_params, det_params, det_state, video, *, dtype=jnp.bfloat16):
+def stem_features(vgg_params, det_params, det_state, video, *, dtype=jnp.bfloat16,
+                  frame_chunk: int | None = None):
     """The full frozen stem over a video batch.
 
     video: [B, T, 160, 208, 3] float (pixels/255, BGR channel order as stored
@@ -108,10 +109,28 @@ def stem_features(vgg_params, det_params, det_state, video, *, dtype=jnp.bfloat1
     Frames are folded into the batch axis for one fused conv stack (the TPU
     replacement for the reference's per-frame loop, eval/q_and_v_eval.py:101-110)
     and the whole stem runs under stop_gradient (torch.no_grad, :104).
+
+    ``frame_chunk`` caps the peak VGG activation memory by lax.map-ing the conv
+    stack over frame chunks (conv1's 64ch @160x208 output is ~4.3 MB/frame in
+    bf16 — 2240 unchunked frames at batch 64 alone exceed a 16 GB HBM).
     """
     B, T = video.shape[:2]
     frames = video.reshape(B * T, *video.shape[2:])
-    feats = vgg_partial(vgg_params, frames, dtype=dtype)
-    feats = obj_detector_features(det_params, det_state, feats, dtype=dtype)
+
+    def run(chunk):
+        feats = vgg_partial(vgg_params, chunk, dtype=dtype)
+        return obj_detector_features(det_params, det_state, feats, dtype=dtype)
+
+    n = B * T
+    if frame_chunk is not None and frame_chunk < n:
+        pad = (-n) % frame_chunk
+        if pad:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((pad, *frames.shape[1:]), frames.dtype)])
+        chunks = frames.reshape(-1, frame_chunk, *frames.shape[1:])
+        feats = jax.lax.map(run, chunks)
+        feats = feats.reshape(-1, *feats.shape[2:])[:n]
+    else:
+        feats = run(frames)
     feats = feats.reshape(B, T, *feats.shape[1:]).astype(jnp.float32)
     return jax.lax.stop_gradient(feats)
