@@ -48,6 +48,7 @@ def generate_house(house_idx, out_dir, engine, rng, nprng, *, trajs_per_house,
 
     generated = 0
     trajectories = []
+    video_lengths = {}
     for traj_id in range(trajs_per_house):
         scene = SceneGraph(house.rooms)  # fresh seen/visited state per trajectory
         a, b = nprng.choice(len(house.rooms), size=2, replace=False)
@@ -63,14 +64,20 @@ def generate_house(house_idx, out_dir, engine, rng, nprng, *, trajs_per_house,
             continue
         frames = observer.render_video(coors)
         _write_mp4(os.path.join(videos_dir, "%s_%04d.mp4" % (house_id, traj_id)), frames)
+        video_lengths[traj_id] = int(frames.shape[0])
         generated += 1
 
     # per-house trajectory archive (the reference's <house>_trajs.npy artifact,
-    # scripts/generate_trajectories.py:23-54)
+    # scripts/generate_trajectories.py:23-54) and video-length JSON
+    # (scripts/generate_videos_for_trajectories.py:51-65)
     traj_dir = os.path.join(out_dir, "trajectories")
     os.makedirs(traj_dir, exist_ok=True)
     np.save(os.path.join(traj_dir, house_id + ".npy"),
             np.array(trajectories, dtype=object), allow_pickle=True)
+    import json
+
+    with open(os.path.join(traj_dir, house_id + "_video_lengths.json"), "w") as f:
+        json.dump(video_lengths, f)
 
     engine.dump_dataset(house_id)
     return house_id, generated

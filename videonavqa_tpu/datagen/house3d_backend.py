@@ -28,8 +28,13 @@ from videonavqa_tpu.datagen.scene import HouseObject, HouseRoom
 
 
 def load_obj_colors(path):
-    """obj_colors.json: '{house_id}.0_{node}' -> color name
-    (scripts/trajectory_gen.py:217,259-261)."""
+    """Object-id -> color-name mapping from either obj_colors.json or the
+    object_id_to_colors.npy pickle the reference mirrors it in
+    (scripts/trajectory_gen.py:217,259-261; README .MISSING_LARGE_BLOBS)."""
+    if path.endswith(".npy"):
+        import numpy as np
+
+        return dict(np.load(path, allow_pickle=True).item())
     with open(path) as f:
         return json.load(f)
 
