@@ -16,11 +16,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA cache beside the repo: first-ever compile of the 4 bucket
+# variants takes minutes over the remote-compile tunnel; subsequent bench runs
+# (including the driver's) start from the cache.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from videonavqa_tpu.models import ModelConfig, get_model
 from videonavqa_tpu.stem import init_obj_detector, init_vgg_partial, stem_features
