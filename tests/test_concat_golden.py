@@ -163,6 +163,45 @@ def test_concat2d_golden_parity():
     np.testing.assert_allclose(np.asarray(got), ref, atol=3e-4)
 
 
+def test_v_only_cnn3d_golden_parity():
+    """Same C3D trunk as concat3d but with the fc8 classifier head
+    (models/v_only_cnn3d.py:30-81); v_lens ignored by design."""
+    torch.manual_seed(7)
+    m = _TorchConcat3D(CFG).eval()
+    _rand_bn_stats(m)
+    fc8 = nn.Linear(128, CFG.num_classes)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()
+          if not any(k.startswith(p) for p in ("embed", "q_lstm", "fc_tail", "out_linear"))}
+    sd.update({f"fc8.{k}": v.detach().numpy() for k, v in fc8.state_dict().items()})
+
+    from videonavqa_tpu.utils.zoo_import import import_model_checkpoint
+
+    params, state, missing = import_model_checkpoint("v_only_cnn3d", sd, CFG)
+    assert missing == []
+    verify_shapes("v_only_cnn3d", params, state, CFG)
+
+    rng = np.random.RandomState(7)
+    v, q, v_lens, q_lens = _make_batch(rng, B=2, T=35)
+    with torch.no_grad():
+        h = m.bn_input(torch.from_numpy(v))
+        h = torch.max_pool3d(torch.relu(m.conv1(h)), (1, 2, 2))
+        h = m.bn1(h)
+        h = torch.max_pool3d(torch.relu(m.conv2(h)), (4, 4, 4))
+        h = m.bn2(h)
+        h = torch.max_pool3d(torch.relu(m.conv3a(h)), (4, 4, 4))
+        h = m.bn3(h).reshape(2, -1)
+        h = m.bn6(torch.relu(m.fc6(h)))
+        h = m.bn7(torch.relu(m.fc7(h)))
+        ref = fc8(h).numpy()
+
+    spec = get_model("v_only_cnn3d")
+    batch = {"video": jnp.asarray(v.transpose(0, 4, 2, 3, 1)),
+             "v_len": jnp.asarray(v_lens)}
+    got, _ = spec.apply(params, state, batch, CFG, train=False,
+                        rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4)
+
+
 def test_concat3d_golden_parity():
     torch.manual_seed(5)
     m = _TorchConcat3D(CFG).eval()
