@@ -34,6 +34,33 @@ def test_subsample_semantics():
     assert np.all(out[3:] == 0)
 
 
+def test_subsample_rng_cross_process_stable():
+    """Frame-subsampling RNG must not depend on PYTHONHASHSEED: spawn fresh
+    interpreters with different hash seeds and require identical streams."""
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np\n"
+        "from videonavqa_tpu.data import DataPaths, VNQADataset\n"
+        "ds = VNQADataset(DataPaths('.'), ['a.mp4'], {'a.mp4': 0},"
+        " deterministic=True, seed=7)\n"
+        "det = ds._rng_for('a.mp4', 3).randint(0, 1 << 30, 5)\n"
+        "ds2 = VNQADataset(DataPaths('.'), ['a.mp4'], {'a.mp4': 0},"
+        " deterministic=False, seed=7)\n"
+        "tr = ds2._rng_for('a.mp4', 3).randint(0, 1 << 30, 5)\n"
+        "print('|'.join(','.join(map(str, a)) for a in (det, tr)))\n"
+    )
+    outs = set()
+    for hashseed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=hashseed)
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, env=env, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        outs.add(r.stdout.strip().splitlines()[-1])
+    assert len(outs) == 1, f"subsampling RNG varies across processes: {outs}"
+
+
 def test_dataset_and_loader(synth_dir):
     paths = DataPaths(synth_dir)
     split = load_json(paths.split_file)

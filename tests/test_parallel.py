@@ -92,6 +92,13 @@ def test_model_axis_sharding_runs():
     assert np.isfinite(float(m2["loss"]))
 
 
+def test_make_mesh_raises_on_insufficient_devices():
+    """make_mesh must error, not silently truncate, when fewer devices exist
+    than requested (the round-1 multichip dryrun failure mode)."""
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(1024)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
 

@@ -28,6 +28,7 @@ import json
 import os
 import queue
 import threading
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -139,11 +140,13 @@ class VNQADataset:
         return len(self.filenames)
 
     def _rng_for(self, filename, epoch):
-        if self.deterministic:
-            h = hash((self.seed, filename)) & 0x7FFFFFFF
-        else:
-            h = hash((self.seed, filename, epoch)) & 0x7FFFFFFF
-        return np.random.RandomState(h)
+        # Process-stable hash: Python's builtin hash() of strings is
+        # PYTHONHASHSEED-randomized per interpreter, which would make
+        # deterministic=True frame selection differ between runs and multi-host
+        # loaders disagree on the same example. crc32 is stable everywhere.
+        key = f"{self.seed}/{filename}" if self.deterministic \
+            else f"{self.seed}/{filename}/{epoch}"
+        return np.random.RandomState(zlib.crc32(key.encode()) & 0x7FFFFFFF)
 
     def load_example(self, index: int, epoch: int = 0):
         filename = self.filenames[index]

@@ -33,6 +33,13 @@ def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devices)} "
+                f"device(s) exist on platform "
+                f"'{devices[0].platform if devices else 'none'}'; provision more "
+                f"(e.g. XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} with JAX_PLATFORMS=cpu)")
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel:
