@@ -107,6 +107,17 @@ def test_mac_lr_warmup():
     assert float(opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-4)
 
 
+def test_mac_lr_schedule_matches_reference():
+    """PARITY #18: epoch 0 full lr, epoch 1 lr/10, epochs >= 2 full lr
+    (q_and_v_eval.py:358-364 assigns the warmup after epoch-0 training)."""
+    from videonavqa_tpu.cli.common import mac_lr_for_epoch
+
+    assert mac_lr_for_epoch(1e-3, 0) == pytest.approx(1e-3)
+    assert mac_lr_for_epoch(1e-3, 1) == pytest.approx(1e-4)
+    assert mac_lr_for_epoch(1e-3, 2) == pytest.approx(1e-3)
+    assert mac_lr_for_epoch(1e-3, 7) == pytest.approx(1e-3)
+
+
 def test_overfit_tiny_film():
     """A tiny film_gp must drive training loss toward zero on 4 fixed examples
     — end-to-end learning sanity (forward, backward, BN state, Adam)."""

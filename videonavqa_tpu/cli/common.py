@@ -9,7 +9,7 @@ Reproduces the flag surface and training semantics of the reference harnesses
   weighted/micro F1),
 - per-class accuracy dict printed for val/test (eval/q_and_v_eval.py:216-217),
 - epoch-stamped checkpoints with optimizer state and train F1 metadata,
-- MAC extras: elementwise grad clamp and the epoch-0 lr/10 warmup,
+- MAC extras: elementwise grad clamp and the epoch-1 lr/10 dip (PARITY #18),
 - test mode: last-batch padding + slicing, t_/p_/q_ prediction dumps.
 """
 
@@ -168,6 +168,14 @@ def load_stem(args, paths: DataPaths, calibration_video=None):
         return stem_features(vgg_params, det_params, det_state, video)
 
     return stem_fn
+
+
+def mac_lr_for_epoch(l_rate: float, epoch: int) -> float:
+    """Reference MAC schedule (q_and_v_eval.py:358-364): the "warmup" lr/10 is
+    assigned AFTER epoch-0 training, so epoch 0 trains at full lr, epoch 1 at
+    lr/10, and epochs >= 2 back at full lr. Replicated exactly (PARITY #18)
+    even though assigning warmup post-epoch-0 looks unintended."""
+    return l_rate / 10.0 if epoch == 1 else l_rate
 
 
 def prepare_batch(batch):
@@ -373,8 +381,8 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(start_epoch, start_epoch + args.num_epochs):
         if model_name == "mac":
-            lr = args.l_rate / 10.0 if epoch == 0 else args.l_rate
-            opt_state = set_learning_rate(opt_state, lr)  # eval/q_and_v_eval.py:358-363
+            lr = mac_lr_for_epoch(args.l_rate, epoch)
+            opt_state = set_learning_rate(opt_state, lr)
             print("learning rate %.5f" % lr)
         if not getattr(args, "val_only", False):
             profile_dir = getattr(args, "profile_dir", None) if epoch == start_epoch else None
@@ -448,8 +456,9 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
         preds = np.asarray(metrics["preds"])[:num_valid]
         total_loss += float(metrics["loss"])
         hit += int(np.sum(preds == labels_np[:num_valid]))
-        # the reference counts padded rows in num_examples (:75) — preserved
-        num_examples += len(labels_np)
+        # real rows only, as the reference does (q_and_v_test.py:77 counts
+        # before padding); our loss numerator also excludes padding (valid mask)
+        num_examples += num_valid
         y_pred.append(preds)
         y_target.append(labels_np[:num_valid])
         if q_id is not None:

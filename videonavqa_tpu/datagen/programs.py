@@ -59,7 +59,7 @@ def flatten_set(ctx, *sets):
 @op
 def continue_if_distinct(ctx, obj1, obj2):
     if obj1 == obj2:
-        raise GenerationError("Need two distinct objects of the same type!")
+        raise GenerationError("both candidates resolve to the same object")
     return [obj1, obj2]
 
 
@@ -67,7 +67,7 @@ def continue_if_distinct(ctx, obj1, obj2):
 def continue_if_non_empty(ctx, values):
     if len(values) > 0:
         return values
-    raise GenerationError("Set is empty!")
+    raise GenerationError("empty set: cannot continue this program")
 
 
 @op
@@ -77,14 +77,14 @@ def exists(ctx, values):
 
 @op
 def exists_set(ctx, *sets):
-    assert sets, "No sets given as input!"
+    assert sets, "exists_set needs at least one input set"
     return all(len(s) > 0 for s in sets)
 
 
 @op
 def unique(ctx, values):
     if len(values) == 0 or not all(values[0] == x for x in values):
-        raise GenerationError("Not a singleton set!")
+        raise GenerationError("set does not reduce to a single value")
     return values[0]
 
 
@@ -95,7 +95,7 @@ def unique_set(ctx, *values):
 
 @op
 def intersect(ctx, *sets):
-    assert len(sets) > 1, "Not enough sets to intersect!"
+    assert len(sets) > 1, "intersect needs >= 2 input sets"
     result = set(sets[0])
     for s in sets[1:]:
         result &= set(s)
@@ -110,7 +110,7 @@ def count(ctx, values):
 @op
 def count_exists(ctx, values):
     if len(values) == 0:
-        raise GenerationError("No items in the set!")
+        raise GenerationError("count_exists over an empty set")
     return len(values)
 
 
@@ -121,20 +121,20 @@ def count_unique(ctx, values):
 
 @op
 def comp(ctx, op_name, v1, v2):
-    assert op_name in ("more", "fewer"), "Invalid operator!"
+    assert op_name in ("more", "fewer"), "comparison operator must be more/fewer"
     return v1 > v2 if op_name == "more" else v1 < v2
 
 
 @op
 def comp_rel(ctx, b1, b2):
-    assert "bbox" in b1 and "bbox" in b2, "Argument without a bbox field!"
+    assert "bbox" in b1 and "bbox" in b2, "comp_rel arguments must carry a bbox"
     return geometry.bbox_larger(b1["bbox"], b2["bbox"], 0.25)
 
 
 @op
 def comp_sup(ctx, items):
     if len(items) < 2:
-        raise GenerationError("Need at least 2 items for getting the biggest one!")
+        raise GenerationError("size comparison needs >= 2 items")
     biggest = items[0]
     for item in items[1:]:
         if geometry.bbox_larger(item["bbox"], biggest["bbox"], 0.1):
@@ -147,7 +147,7 @@ def get_attr(ctx, attr, item):
     items = item if isinstance(item, list) else [item]
     for x in items:
         if attr not in x or x[attr] is None:
-            raise GenerationError(attr + " attribute not present or None!")
+            raise GenerationError("attribute %r missing or None on item" % attr)
     values = [x[attr] for x in items]
     return values if isinstance(item, list) else values[0]
 
@@ -173,7 +173,7 @@ def filter(ctx, attr_name, attr_value, values):  # noqa: A001 - reference name
 @op
 def filter_unwanted_rooms(ctx, values):
     for x in values:
-        assert "room_type" in x, "room_type attribute not present!"
+        assert "room_type" in x, "item lacks a room_type attribute"
     return [x for x in values if x["room_type"] not in EXCLUDE_ROOMS]
 
 
@@ -181,11 +181,11 @@ def filter_unwanted_rooms(ctx, values):
 def get_rel_objects(ctx, rel, obj):
     all_pairs = ctx.scene.get_all_nearby_object_pairs()[rel]
     if not all_pairs:
-        raise GenerationError("No nearby object pairs for " + rel + "!")
+        raise GenerationError("scene has no %r-related object pairs" % rel)
     rel_objects = [pair[0].meta for pair in all_pairs if pair[1].meta == obj]
     if not rel_objects:
         raise GenerationError(
-            "No nearby object pairs for object " + obj["node"] + "!")
+            "no %r-related pairs touch object %s" % (rel, obj["node"]))
     return rel_objects
 
 
@@ -202,5 +202,5 @@ def strip_nums(ctx, string):
 @op
 def room_if_allowed(ctx, string):
     if string in EXCLUDE_ROOMS:
-        raise GenerationError("Can't have this value for room_location/_type!")
+        raise GenerationError("room type is on the exclusion list")
     return string

@@ -23,8 +23,10 @@ from videonavqa_tpu.train.loss import cross_entropy_loss
 
 
 def make_optimizer(l_rate: float):
-    """Adam with torch defaults; learning rate injectable for the MAC epoch-0
-    warmup (lr/10 on epoch 0, eval/q_and_v_eval.py:358-363)."""
+    """Adam with torch defaults; learning rate injectable for the MAC schedule
+    (full lr on epoch 0, lr/10 on epoch 1, full lr after — the reference
+    assigns its "warmup" only after epoch-0 training,
+    eval/q_and_v_eval.py:358-364; PARITY #18)."""
     return optax.inject_hyperparams(optax.adam)(learning_rate=l_rate)
 
 
