@@ -11,14 +11,18 @@
 //
 // File layout (little-endian):
 //   magic 'VNR1' | u32 version | u32 num_examples | u16 H | u16 W | u16 C
-//   | u16 flags (1 = zlib frames)
+//   | u16 flags (0 = raw frames, 1 = zlib frames, 2 = zstd frames)
 //   index[num_examples]:
 //     u64 video_offset | u32 num_frames | u32 frame_comp_bytes[... per frame]
 //       -> stored as: u64 offset, u32 num_frames, then per-frame u32 sizes
 //     u32 q_len | i32 label | i32 q_id | i64 tokens[q_len]
 //   data: concatenated (compressed) frames.
 //
-// Build: g++ -O3 -shared -fPIC -std=c++17 vnr.cpp -o libvnr.so -lz -lpthread
+// Codec choice: this host has a single CPU core, so decode speed bounds
+// end-to-end epoch throughput. zstd inflates 3-6x faster than zlib at similar
+// ratios, so it is the default; zlib stays readable for old files.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 vnr.cpp -o libvnr.so -lz -lzstd -lpthread
 
 #include <atomic>
 #include <cstdint>
@@ -29,6 +33,7 @@
 #include <vector>
 
 #include <zlib.h>
+#include <zstd.h>
 
 namespace {
 
@@ -182,10 +187,16 @@ int vnr_batch(void* handle, const int32_t* indices, int n, int t_cap,
         int keep = rng.uniform(i, hi);
         const uint8_t* src = vf->data.data() + frame_off[keep];
         uint8_t* dst = vid_out + static_cast<size_t>(count) * frame_px;
-        if (vf->flags & 1) {
+        if (vf->flags == 1) {
           uLongf dlen = frame_px;
           if (uncompress(dst, &dlen, src, e.frame_bytes[keep]) != Z_OK ||
               dlen != frame_px) {
+            status.store(3);
+            return;
+          }
+        } else if (vf->flags == 2) {
+          size_t dlen = ZSTD_decompress(dst, frame_px, src, e.frame_bytes[keep]);
+          if (ZSTD_isError(dlen) || dlen != frame_px) {
             status.store(3);
             return;
           }
@@ -215,6 +226,20 @@ int vnr_batch(void* handle, const int32_t* indices, int n, int t_cap,
   for (int i = 0; i < nt; ++i) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return status.load();
+}
+
+// zstd frame compression for the Python packer. Returns the compressed size,
+// or -1 on error / insufficient dst capacity.
+int64_t vnr_zstd_compress(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                          int64_t dst_cap, int level) {
+  size_t n = ZSTD_compress(dst, static_cast<size_t>(dst_cap), src,
+                           static_cast<size_t>(src_len), level);
+  if (ZSTD_isError(n)) return -1;
+  return static_cast<int64_t>(n);
+}
+
+int64_t vnr_zstd_bound(int64_t src_len) {
+  return static_cast<int64_t>(ZSTD_compressBound(static_cast<size_t>(src_len)));
 }
 
 void vnr_close(void* handle) {

@@ -1,5 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -19,55 +21,159 @@ CFG = ModelConfig(model="film_gp_pt", num_res_blocks=1, num_res_block_channels=1
                   compute_dtype="float32", num_classes=8, vocab_size=17,
                   embed_size=8, hidden_size=8)
 
+# Tiny configs per model family for the DP-equivalence sweep: mac exercises
+# per-step variational dropout rng under sharding; film_attn exercises the
+# batch-max-dependent attention mask with ragged sharded v_lens.
+_DP_CFGS = {
+    "film_gp_pt": CFG,
+    "film_attn_pt": dataclasses.replace(CFG, model="film_attn_pt",
+                                        at_hidden_size=8),
+    "mac": dataclasses.replace(CFG, model="mac", mac_dim=16, mac_max_step=3),
+}
 
-def _batch(key, B, T=3):
+
+def _batch(key, B, cfg=CFG, T=3, ragged=False):
+    if ragged:
+        v_len = (jax.random.randint(key, (B,), 1, T + 1)).astype(jnp.int32)
+        q_len = (jax.random.randint(key, (B,), 1, 7)).astype(jnp.int32)
+    else:
+        v_len = jnp.full((B,), T, jnp.int32)
+        q_len = jnp.full((B,), 4, jnp.int32)
     return {
-        "v_features": jax.random.normal(key, (B, T, 10, 13, CFG.num_input_channels)),
-        "question": jax.random.randint(key, (B, 7), 0, CFG.vocab_size),
-        "v_len": jnp.full((B,), T, jnp.int32),
-        "q_len": jnp.full((B,), 4, jnp.int32),
-        "label": jax.random.randint(key, (B,), 0, CFG.num_classes),
+        "v_features": jax.random.normal(key, (B, T, 10, 13, cfg.num_input_channels)),
+        "question": jax.random.randint(key, (B, 7), 0, cfg.vocab_size),
+        "v_len": v_len,
+        "q_len": q_len,
+        "label": jax.random.randint(key, (B,), 0, cfg.num_classes),
     }
 
 
-def _setup(mesh):
-    spec = get_model(CFG.model)
-    params, state = spec.init(jax.random.PRNGKey(0), CFG)
+def _setup(mesh, cfg=CFG):
+    spec = get_model(cfg.model)
+    params, state = spec.init(jax.random.PRNGKey(0), cfg)
     optimizer = make_optimizer(1e-3)
     opt_state = optimizer.init(params)
-    step = make_train_step(spec, CFG, optimizer, reduction="sum", clip_value=1.0,
+    step = make_train_step(spec, cfg, optimizer, reduction="sum", clip_value=1.0,
                            donate=False)
     return spec, params, state, optimizer, opt_state, step
 
 
-def test_dp_matches_single_device():
-    """Sharded DP step must reproduce single-device numerics (loss + params)."""
+def _shard_all(mesh, params, state, opt_state, batch):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    p_shard = param_shardings(params, mesh)
+    bspec = batch_sharding(mesh)
+    return (jax.device_put(params, p_shard),
+            jax.device_put(state, jax.tree.map(lambda _: rep, state)),
+            jax.device_put(opt_state,
+                           opt_state_shardings(opt_state, params, p_shard, mesh)),
+            {k: jax.device_put(v, bspec(v)) for k, v in batch.items()})
+
+
+@pytest.mark.parametrize("model", sorted(_DP_CFGS))
+def test_dp_matches_single_device(model):
+    """Sharded DP step must reproduce single-device numerics for every covered
+    family — including mac's per-step dropout rng and film_attn's batch-max
+    attention mask over ragged sharded v_lens.
+
+    Raw gradients must agree to f32 reassociation noise (the psum tree sums in
+    a different order than the sequential batch reduction); post-Adam params
+    get a looser bound because the first Adam step normalizes g/sqrt(g^2),
+    amplifying that noise to ~2*lr on leaves whose true gradient is ~0."""
+    from videonavqa_tpu.train.loss import cross_entropy_loss
+
+    cfg = _DP_CFGS[model]
     mesh = make_mesh(8, model_parallel=1)
-    spec, params, state, optimizer, opt_state, step = _setup(mesh)
-    batch = _batch(jax.random.PRNGKey(3), B=16)
+    spec, params, state, optimizer, opt_state, step = _setup(mesh, cfg)
+    batch = _batch(jax.random.PRNGKey(3), B=16, cfg=cfg,
+                   ragged=(model == "film_attn_pt"))
     rng = jax.random.PRNGKey(5)
 
     # single device
     p1, s1, o1, m1 = step(params, state, opt_state, batch, rng)
 
     # sharded
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    rep = NamedSharding(mesh, P())
-    p_shard = param_shardings(params, mesh)
-    paramsS = jax.device_put(params, p_shard)
-    stateS = jax.device_put(state, jax.tree.map(lambda _: rep, state))
-    optS = jax.device_put(opt_state, opt_state_shardings(opt_state, params, p_shard, mesh))
-    bspec = batch_sharding(mesh)
-    batchS = {k: jax.device_put(v, bspec(v)) for k, v in batch.items()}
+    paramsS, stateS, optS, batchS = _shard_all(mesh, params, state, opt_state, batch)
     with mesh:
         p2, s2, o2, m2 = step(paramsS, stateS, optS, batchS, rng)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+    # raw gradient equivalence (the actual DP contract)
+    def loss_fn(p, b):
+        logits, _ = spec.apply(p, state, b, cfg, train=True, rng=rng)
+        return cross_entropy_loss(logits, b["label"], reduction="sum")
+
+    g1 = jax.jit(jax.grad(loss_fn))(params, batch)
+    with mesh:
+        g2 = jax.jit(jax.grad(loss_fn))(paramsS, batchS)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+    # post-Adam params within the noise-amplification bound (2*lr = 2e-3)
     for l1, l2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
-        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2.5e-3)
     # BN running stats (cross-replica batch stats) must also match
     for l1, l2 in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_eval_step_dp_matches_single_device():
+    """make_eval_step under DP sharding == single device (ragged lengths)."""
+    from videonavqa_tpu.train.step import make_eval_step
+
+    cfg = _DP_CFGS["film_attn_pt"]
+    mesh = make_mesh(8, model_parallel=1)
+    spec = get_model(cfg.model)
+    params, state = spec.init(jax.random.PRNGKey(0), cfg)
+    eval_step = make_eval_step(spec, cfg, reduction="sum")
+    batch = _batch(jax.random.PRNGKey(11), B=16, cfg=cfg, ragged=True)
+    rng = jax.random.PRNGKey(13)
+
+    m1 = eval_step(params, state, batch, rng)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    paramsS = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+    stateS = jax.device_put(state, jax.tree.map(lambda _: rep, state))
+    bspec = batch_sharding(mesh)
+    batchS = {k: jax.device_put(v, bspec(v)) for k, v in batch.items()}
+    with mesh:
+        m2 = eval_step(paramsS, stateS, batchS, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m1["preds"]), np.asarray(m2["preds"]))
+
+
+def test_host_batch_slice_math(monkeypatch):
+    """Per-host slices partition the global batch exactly."""
+    from videonavqa_tpu.parallel import multihost
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    covered = []
+    for pid in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda pid=pid: pid)
+        start, size = multihost.host_batch_slice(32)
+        covered.append((start, size))
+    assert covered == [(0, 8), (8, 8), (16, 8), (24, 8)]
+    with pytest.raises(AssertionError):
+        multihost.host_batch_slice(30)  # not divisible by 4 hosts
+
+
+def test_global_batch_from_host_shards_single_process():
+    """On one process the host shard IS the global batch; the assembled arrays
+    must be 'data'-sharded and value-identical."""
+    from videonavqa_tpu.parallel import multihost
+
+    mesh = make_mesh(8, model_parallel=1)
+    host_batch = {"x": np.arange(32, dtype=np.float32).reshape(16, 2),
+                  "y": np.arange(16, dtype=np.int32)}
+    out = multihost.global_batch_from_host_shards(mesh, host_batch)
+    for k, v in host_batch.items():
+        np.testing.assert_array_equal(np.asarray(out[k]), v)
+        assert out[k].sharding.spec[0] == "data"
 
 
 def test_model_axis_sharding_runs():

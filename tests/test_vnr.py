@@ -11,14 +11,14 @@ from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built, pack_dataset
 from videonavqa_tpu.utils import constants as C
 
 
-@pytest.fixture(scope="module")
-def packed(tmp_path_factory):
+@pytest.fixture(scope="module", params=["zstd", "zlib", "raw"])
+def packed(request, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("vnrdata"))
     generate_synthetic_dataset(base, num_houses=2, trajs_per_house=3, seed=1,
                                video_format="npy", max_frames=50)
     ensure_built()
-    out = os.path.join(base, "all.vnr")
-    ids = pack_dataset(base, out)
+    out = os.path.join(base, f"all_{request.param}.vnr")
+    ids = pack_dataset(base, out, compress=request.param)
     return base, out, ids
 
 

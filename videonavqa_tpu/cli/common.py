@@ -179,12 +179,11 @@ def mac_lr_for_epoch(l_rate: float, epoch: int) -> float:
 
 
 def prepare_batch(batch):
-    """numpy -> device; normalize video u8 -> f32/255 on device; attach a
+    """numpy -> device (videos stay uint8: 4x less transfer, the /255
+    normalization runs in-graph via ops.video.normalize_video); attach a
     validity mask excluding test-mode padding rows from the loss."""
     num_valid = int(batch.pop("num_valid"))
     batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "q_id"}
-    if "video" in batch and batch["video"].dtype == jnp.uint8:
-        batch["video"] = batch["video"].astype(jnp.float32) / 255.0
     B = batch["label"].shape[0]
     if num_valid < B:
         batch["valid"] = jnp.arange(B) < num_valid
@@ -243,7 +242,7 @@ class Harness:
 
     def run_epoch(self, step_fn, params, state, opt_state, loader, epoch, *,
                   train, rng):
-        from videonavqa_tpu.data.prefetch import device_prefetch
+        from videonavqa_tpu.data.prefetch import device_prefetch, host_prefetch
 
         t0 = time.time()
         total_loss, hit, num_examples = 0.0, 0, 0
@@ -268,7 +267,7 @@ class Harness:
 
         # stay one host->HBM transfer ahead of the running step
         for i, (batch, num_valid, labels_np) in enumerate(
-                device_prefetch(loader.epoch(epoch), prepare)):
+                device_prefetch(host_prefetch(loader.epoch(epoch)), prepare)):
             rng, sub = jax.random.split(rng)
             if train:
                 params, state, opt_state, metrics = step_fn(

@@ -33,7 +33,7 @@ def ensure_built(force=False):
             os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
-           "-lz", "-lpthread"]
+           "-lz", "-lzstd", "-lpthread"]
     subprocess.run(cmd, check=True)
     return _LIB
 
@@ -56,15 +56,38 @@ def _load_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
         lib.vnr_close.argtypes = [ctypes.c_void_p]
+        lib.vnr_zstd_compress.restype = ctypes.c_int64
+        lib.vnr_zstd_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int]
+        lib.vnr_zstd_bound.restype = ctypes.c_int64
+        lib.vnr_zstd_bound.argtypes = [ctypes.c_int64]
         _lib = lib
     return _lib
 
 
-def pack_dataset(base_dir, out_file, example_ids=None, *, compress=True):
+def _zstd_compress(raw: bytes, level: int = 1) -> bytes:
+    lib = _load_lib()
+    cap = lib.vnr_zstd_bound(len(raw))
+    dst = ctypes.create_string_buffer(cap)
+    n = lib.vnr_zstd_compress(raw, len(raw), dst, cap, level)
+    if n < 0:
+        raise RuntimeError("zstd compression failed")
+    return dst.raw[:n]
+
+
+#: header flag values — frame codec
+_CODEC_FLAGS = {None: 0, "raw": 0, "zlib": 1, "zstd": 2, True: 2, False: 0}
+
+
+def pack_dataset(base_dir, out_file, example_ids=None, *, compress="zstd"):
     """Pack (a split of) a dataset directory into a .vnr file.
 
-    Returns the list of example ids in file order (the loader's index space).
+    ``compress``: 'zstd' (default — 3-6x faster single-core decode than zlib
+    at a similar ratio), 'zlib', or None/'raw'. Returns the list of example
+    ids in file order (the loader's index space).
     """
+    codec = _CODEC_FLAGS[compress]
     paths = DataPaths(base_dir)
     labels = load_json(paths.labels_file)
     q_ids = load_json(paths.q_ids_file) if os.path.exists(paths.q_ids_file) else {}
@@ -78,7 +101,12 @@ def pack_dataset(base_dir, out_file, example_ids=None, *, compress=True):
         frames = []
         for frame in video:
             raw = np.ascontiguousarray(frame).tobytes()
-            frames.append(zlib.compress(raw, 1) if compress else raw)
+            if codec == 1:
+                frames.append(zlib.compress(raw, 1))
+            elif codec == 2:
+                frames.append(_zstd_compress(raw))
+            else:
+                frames.append(raw)
         tokens = np.load(os.path.join(paths.questions_dir, ex_id + ".npy")).astype(np.int64)
 
         idx = struct.pack("<QI", offset, len(frames))
@@ -92,7 +120,7 @@ def pack_dataset(base_dir, out_file, example_ids=None, *, compress=True):
         offset += len(blob)
 
     header = struct.pack("<IIIHHHH", _MAGIC, 1, len(ids), C.VID_HEIGHT,
-                         C.VID_WIDTH, 3, 1 if compress else 0)
+                         C.VID_WIDTH, 3, codec)
     tmp = out_file + ".tmp"
     with open(tmp, "wb") as f:
         f.write(header)

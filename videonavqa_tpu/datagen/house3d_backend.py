@@ -6,12 +6,17 @@ Neither ships with this framework; this adapter documents and implements the
 integration seam so real-dataset generation plugs into the same pipeline the
 synthetic backend uses:
 
-    house = load_suncg_house(house3d_utils, house_id, obj_colors)
-    scene = SceneGraph(house.rooms)
+    rooms = load_suncg_house(house3d_utils, house_id, obj_colors)
+    scene = SceneGraph(rooms)
     renderer = House3DRenderer(env)           # wraps the C++ RenderAPI
     observer = TrajectoryObserver(scene, renderer,
                                   rgb_to_obj=load_semantic_colormap(csv_path))
     ...
+
+The benchmark's color metadata ships in-tree (datagen/assets): the semantic
+palette ``colormap_coarse.csv`` and the ``object_id_to_colors.npy`` ground
+truth. tests/test_house3d_backend.py drives this whole seam against a mock
+House3D environment.
 
 Requirements (README.md:35-39 of the reference): the SUNCG dataset +
 SUNCGtoolbox ``scn2scn`` (house.json -> house.obj meshes), the House3D fork,
@@ -37,6 +42,14 @@ def load_obj_colors(path):
         return dict(np.load(path, allow_pickle=True).item())
     with open(path) as f:
         return json.load(f)
+
+
+def load_suncg_house(house3d_utils, house_id, obj_colors):
+    """HouseRoom ground truth from an initialized ``House3DUtils`` (the
+    EmbodiedQA fork object exposing ``.rooms`` / ``.objects``,
+    scripts/trajectory_gen.py:220-273)."""
+    return suncg_house_to_rooms(house3d_utils.rooms, house3d_utils.objects,
+                                house_id, obj_colors)
 
 
 def suncg_house_to_rooms(rooms_meta, objects_meta, house_id, obj_colors):

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from videonavqa_tpu.models.base import register_model
 from videonavqa_tpu.models.v_only_cnn2d_lstm import FRAME_FEAT_DIM, frame_trunk, init_frame_trunk
+from videonavqa_tpu.ops.video import normalize_video
 from videonavqa_tpu.ops import initializers as init
 from videonavqa_tpu.ops.linear import embedding, linear
 from videonavqa_tpu.ops.lstm import last_valid, lstm
@@ -50,7 +51,7 @@ def init_fn(key, cfg):
 
 
 def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
-    video, v_lens = batch["video"], batch["v_len"]
+    video, v_lens = normalize_video(batch["video"]), batch["v_len"]
     q, q_lens = batch["question"], batch["q_len"]
     frame_mask = length_mask(v_lens, video.shape[1])
     new_state = dict(state)

@@ -14,6 +14,7 @@ import jax
 from videonavqa_tpu.models.base import register_model
 from videonavqa_tpu.models.concat2d import HIDDEN_SIZE, dropout
 from videonavqa_tpu.models.v_only_cnn3d import c3d_trunk, init_c3d_trunk
+from videonavqa_tpu.ops.video import normalize_video
 from videonavqa_tpu.ops import initializers as init
 from videonavqa_tpu.ops.linear import embedding, linear
 from videonavqa_tpu.ops.lstm import last_valid, lstm
@@ -30,7 +31,7 @@ def init_fn(key, cfg):
 
 
 def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
-    h, new_state = c3d_trunk(params, state, batch["video"], cfg, train=train)
+    h, new_state = c3d_trunk(params, state, normalize_video(batch["video"]), cfg, train=train)
 
     emb = embedding(params["embed"], batch["question"], padding_idx=None)
     q_outs, _ = lstm(params["q_lstm"], emb, batch["q_len"])

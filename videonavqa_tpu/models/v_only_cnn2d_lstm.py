@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from videonavqa_tpu.models.base import register_model
+from videonavqa_tpu.ops.video import normalize_video
 from videonavqa_tpu.ops import initializers as init
 from videonavqa_tpu.ops.conv import conv2d, max_pool2d
 from videonavqa_tpu.ops.linear import linear
@@ -73,7 +74,7 @@ def init_fn(key, cfg):
 
 
 def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
-    video, v_lens = batch["video"], batch["v_len"]
+    video, v_lens = normalize_video(batch["video"]), batch["v_len"]
     frame_mask = length_mask(v_lens, video.shape[1])
     new_state = dict(state)
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from videonavqa_tpu.models.base import register_model
+from videonavqa_tpu.ops.video import normalize_video
 from videonavqa_tpu.ops import initializers as init
 from videonavqa_tpu.ops.conv import conv3d, max_pool3d
 from videonavqa_tpu.ops.linear import linear
@@ -83,7 +84,7 @@ def init_fn(key, cfg):
 
 
 def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
-    h, new_state = c3d_trunk(params, state, batch["video"], cfg, train=train)
+    h, new_state = c3d_trunk(params, state, normalize_video(batch["video"]), cfg, train=train)
     return linear(params["fc8"], h), new_state
 
 

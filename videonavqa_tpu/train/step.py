@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from videonavqa_tpu.ops.video import normalize_video
 from videonavqa_tpu.train.loss import cross_entropy_loss
 
 
@@ -48,7 +49,7 @@ def clip_grads(grads, *, clip_value=None, elementwise_clamp=None):
 
 def _forward(spec, cfg, params, state, batch, rng, *, train, stem_fn=None):
     if stem_fn is not None and spec.uses_stem and "v_features" not in batch:
-        batch = dict(batch, v_features=stem_fn(batch["video"]))
+        batch = dict(batch, v_features=stem_fn(normalize_video(batch["video"])))
     return spec.apply(params, state, batch, cfg, train=train, rng=rng)
 
 
