@@ -9,7 +9,10 @@ Writes the measured bound to stdout; PERF.md records the latest numbers.
 """
 
 import dataclasses
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
