@@ -122,7 +122,7 @@ def main(argv=None):
     import numpy as np
 
     npr = np.random.RandomState(0)
-    buckets = (12, 20, 28, 35)
+    buckets = (8, 12, 16, 20, 24, 28, 32, 35)
     n_batches_per_bucket = {t: 0 for t in buckets}
     all_lens = np.minimum(-(-npr.randint(10, 141, size=args.steps * B) // 4), 35)
     all_lens = np.sort(all_lens)[::-1]

@@ -35,7 +35,7 @@ def timeit(f, *args, n=10):
 
 
 def main():
-    N, H, W = 640, 160, 208  # ~batch 32 x 20 frames
+    N, H, W = 320, 160, 208  # ~batch 32 x 20 frames
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (N, H, W, 3), jnp.bfloat16)
     w = jax.random.normal(key, (3, 3, 3, 64), jnp.bfloat16) * 0.1
