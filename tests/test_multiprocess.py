@@ -1,0 +1,82 @@
+"""Real multi-process data-parallel training: two OS processes, 4 CPU devices
+each, one 8-device global mesh (jax.distributed over Gloo).
+
+This is the process_count > 1 exercise of parallel/multihost.py — each process
+loads only its host_batch_slice, global_batch_from_host_shards assembles the
+global batch, and the DP step must reproduce the single-process numerics.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_two_process_dp_matches_single_process():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, WORKER, str(pid), str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=REPO)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    results = []
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        m = re.search(r"MPRESULT pid=\d+ loss=([\d.]+) grad_norm=([\d.]+) "
+                      r"leafsum=(-?[\d.]+)", out)
+        assert m, f"no result line from worker {pid}:\n{out[-3000:]}"
+        results.append(tuple(float(g) for g in m.groups()))
+
+    # both processes must agree bit-for-bit on the global quantities
+    assert results[0] == results[1], results
+
+    # ... and match a single-process run of the same step on the same batch
+    from videonavqa_tpu.models import ModelConfig, get_model
+    from videonavqa_tpu.train.step import make_optimizer, make_train_step
+
+    CFG = ModelConfig(model="film_gp_pt", num_res_blocks=1,
+                      num_res_block_channels=16, num_input_channels=8,
+                      num_tail_channels=4, max_num_frames=3,
+                      compute_dtype="float32", num_classes=8, vocab_size=17,
+                      embed_size=8, hidden_size=8)
+    rng = np.random.RandomState(7)
+    B, T = 16, 3
+    batch = {
+        "v_features": rng.randn(B, T, 10, 13, CFG.num_input_channels)
+                         .astype(np.float32),
+        "question": rng.randint(1, CFG.vocab_size, size=(B, 7)).astype(np.int32),
+        "v_len": np.full((B,), T, np.int32),
+        "q_len": np.full((B,), 4, np.int32),
+        "label": rng.randint(0, CFG.num_classes, size=(B,)).astype(np.int32),
+    }
+    model = get_model(CFG.model)
+    params, state = model.init(jax.random.PRNGKey(0), CFG)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, CFG, optimizer, reduction="sum",
+                           clip_value=1.0, donate=False)
+    params, state, opt_state, metrics = step(params, state, opt_state, batch,
+                                             jax.random.PRNGKey(5))
+    loss, gn = float(metrics["loss"]), float(metrics["grad_norm"])
+    leafsum = float(np.asarray(jax.tree.leaves(params)[0]).sum())
+
+    np.testing.assert_allclose(results[0][0], loss, rtol=1e-5)
+    np.testing.assert_allclose(results[0][1], gn, rtol=1e-4)
+    np.testing.assert_allclose(results[0][2], leafsum, rtol=1e-4, atol=1e-5)
