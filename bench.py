@@ -51,6 +51,11 @@ def main(argv=None):
     parser.add_argument("--use_pallas_kernels", type=lambda s: s.lower() == "true",
                         default=False)
     parser.add_argument("--int8_stem", type=lambda s: s.lower() == "true", default=False)
+    parser.add_argument("--feature_cache", type=lambda s: s.lower() == "true", default=False,
+                        help="train/eval from precomputed frozen-stem features "
+                             "(cli.extract_features): the stem never runs in "
+                             "the step. Device mode feeds synthetic bf16 "
+                             "features; --e2e extracts a real cache first")
     parser.add_argument("--remat", type=lambda s: s.lower() == "true", default=False)
     parser.add_argument("--stem_chunk", type=int, default=None,
                         help="lax.map the stem over frame chunks (memory cap for b64+)")
@@ -93,6 +98,8 @@ def main(argv=None):
             return stem_features(vgg_params, det_params, det_state, video,
                                  frame_chunk=args.stem_chunk)
 
+    step_stem_fn = None if args.feature_cache else stem_fn
+
     optimizer = make_optimizer(1e-4)
     opt_state = optimizer.init(params)
 
@@ -102,14 +109,14 @@ def main(argv=None):
 
     if args.mode == "train":
         train_step = make_train_step(spec, cfg, optimizer, reduction="sum",
-                                     clip_value=1.0, stem_fn=stem_fn)
+                                     clip_value=1.0, stem_fn=step_stem_fn)
 
         def step(params, state, opt_state, batch, rng):
             return train_step(params, state, opt_state, batch, rng)
     else:
         from videonavqa_tpu.train.step import make_eval_step
 
-        eval_step = make_eval_step(spec, cfg, reduction="sum", stem_fn=stem_fn)
+        eval_step = make_eval_step(spec, cfg, reduction="sum", stem_fn=step_stem_fn)
 
         def step(params, state, opt_state, batch, rng):
             return params, state, opt_state, eval_step(params, state, batch, rng)
@@ -134,8 +141,14 @@ def main(argv=None):
     kv, kq = jax.random.split(key)
 
     def make_batch(T, lens):
+        if args.feature_cache:  # precomputed stem features, detector grid
+            visual = {"v_features": jax.random.normal(
+                kv, (B, T, 10, 13, 512), jnp.bfloat16)}
+        else:
+            visual = {"video": jax.random.uniform(
+                kv, (B, T, 160, 208, 3), jnp.float32)}
         return {
-            "video": jax.random.uniform(kv, (B, T, 160, 208, 3), jnp.float32),
+            **visual,
             "question": jax.random.randint(kq, (B, 56), 1, cfg.vocab_size),
             "v_len": jnp.asarray(lens, jnp.int32),
             "q_len": jnp.full((B,), 12, jnp.int32),
@@ -150,7 +163,10 @@ def main(argv=None):
         for _ in range(args.warmup):
             rng, sub = jax.random.split(rng)
             params, state, opt_state, metrics = step(params, state, opt_state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    # fence with a host VALUE fetch: on the axon remote backend,
+    # block_until_ready can return before queued execution drains (observed:
+    # a 16-step loop "finishing" in 16 ms), which would inflate the metric
+    float(jax.device_get(metrics["loss"]))
 
     t0 = time.time()
     n_steps = 0
@@ -160,12 +176,13 @@ def main(argv=None):
             params, state, opt_state, metrics = step(
                 params, state, opt_state, batches[t], sub)
             n_steps += 1
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # host fetch = hard fence
     dt = time.time() - t0
 
     videos_per_sec = n_steps * B / dt
+    tag = "_fcache" if args.feature_cache else ""
     print(json.dumps({
-        "metric": f"film_attn_{args.mode}_videos_per_sec_per_chip",
+        "metric": f"film_attn_{args.mode}{tag}_videos_per_sec_per_chip",
         "value": round(videos_per_sec, 2),
         "unit": "videos/s",
         "vs_baseline": round(videos_per_sec / P100_VIDEOS_PER_SEC, 2),
@@ -201,6 +218,22 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
     if not os.path.exists(vnr_path):
         pack_dataset(base, vnr_path, split["train"], compress="zstd")
 
+    if args.feature_cache:
+        # one-time stem pass over the dataset (cli.extract_features); epochs
+        # then skip the stem entirely and stream cached bf16 features
+        feat_path = os.path.join(base, "features_bench_train.fnr")
+        if not os.path.exists(feat_path):
+            import argparse as _ap
+
+            from videonavqa_tpu.cli.extract_features import extract_split
+
+            print("# extracting frozen-stem feature cache", file=sys.stderr)
+            extract_split(_ap.Namespace(data_dir=base, chunk=128,
+                                        compress="zstd"),
+                          stem_fn, "bench_train", split["train"])
+        vnr_path = feat_path
+        stem_fn = None
+
     B = args.batch_size
     buckets = (12, 20, 28, 35)  # same trim targets as the device bench
     loader = VNRBatchLoader(vnr_path, B, shuffle=True, bucket_by_length=True,
@@ -232,7 +265,7 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
             params, state, opt_state, metrics = train_step(
                 params, state, opt_state, batch, sub)
             n += B
-        jax.block_until_ready(metrics["loss"])
+        float(jax.device_get(metrics["loss"]))  # host fetch = hard fence
         return n, metrics
 
     # warm every bucket shape explicitly — epoch compositions vary with the
@@ -240,7 +273,11 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
     # dominate the measurement
     key = jax.random.PRNGKey(7)
     for t in buckets:
-        wb = {"video": jnp.zeros((B, t, 160, 208, 3), jnp.uint8),
+        if args.feature_cache:
+            visual = {"v_features": jnp.zeros((B, t, 10, 13, 512), jnp.bfloat16)}
+        else:
+            visual = {"video": jnp.zeros((B, t, 160, 208, 3), jnp.uint8)}
+        wb = {**visual,
               "question": jax.random.randint(key, (B, 56), 1, cfg.vocab_size),
               "v_len": jnp.full((B,), t, jnp.int32),
               "q_len": jnp.full((B,), 12, jnp.int32),
@@ -248,15 +285,16 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
         rng, sub = jax.random.split(rng)
         params, state, opt_state, metrics = train_step(
             params, state, opt_state, wb, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     run_epochs([0])  # warmup: host pipeline + executable switches
     t0 = time.time()
     total, metrics = run_epochs(range(1, args.e2e_epochs + 1))
     dt = time.time() - t0
 
     videos_per_sec = total / dt
+    tag = "_fcache" if args.feature_cache else ""
     print(json.dumps({
-        "metric": f"{args.model}_{args.mode}_videos_per_sec_e2e",
+        "metric": f"{args.model}_{args.mode}{tag}_videos_per_sec_e2e",
         "value": round(videos_per_sec, 2),
         "unit": "videos/s",
         "vs_baseline": round(videos_per_sec / P100_VIDEOS_PER_SEC, 2),

@@ -9,9 +9,15 @@
 // directly into the caller's pinned output buffers. Exposed to Python via a
 // plain C ABI (ctypes).
 //
+// The same container also carries precomputed frozen-stem features
+// (cli/extract_features.py): a "frame" is then a [10, 13, 512] bf16 plane
+// instead of a [160, 208, 3] u8 image. The payload element size lives in the
+// high byte of the flags field (0 or 1 => 1 byte, legacy video files).
+//
 // File layout (little-endian):
 //   magic 'VNR1' | u32 version | u32 num_examples | u16 H | u16 W | u16 C
-//   | u16 flags (0 = raw frames, 1 = zlib frames, 2 = zstd frames)
+//   | u16 flags (low byte: 0 = raw frames, 1 = zlib frames, 2 = zstd frames;
+//                high byte: payload element size in bytes, 0 == 1)
 //   index[num_examples]:
 //     u64 video_offset | u32 num_frames | u32 frame_comp_bytes[... per frame]
 //       -> stored as: u64 offset, u32 num_frames, then per-frame u32 sizes
@@ -56,9 +62,30 @@ struct VnrFile {
   FILE* f = nullptr;
   std::vector<uint8_t> data;  // whole data section, resident
   uint64_t data_start = 0;
-  uint16_t H = 0, W = 0, C = 0, flags = 0;
+  uint16_t H = 0, W = 0, C = 0, codec = 0, elem = 1;
   std::vector<ExampleIndex> index;
+  size_t frame_bytes() const {
+    return static_cast<size_t>(H) * W * C * elem;
+  }
 };
+
+// Decompress one stored frame into dst (frame_bytes() bytes). Returns true on
+// success.
+bool decode_frame(const VnrFile* vf, const uint8_t* src, uint32_t src_len,
+                  uint8_t* dst) {
+  const size_t want = vf->frame_bytes();
+  if (vf->codec == 1) {
+    uLongf dlen = want;
+    return uncompress(dst, &dlen, src, src_len) == Z_OK && dlen == want;
+  }
+  if (vf->codec == 2) {
+    size_t dlen = ZSTD_decompress(dst, want, src, src_len);
+    return !ZSTD_isError(dlen) && dlen == want;
+  }
+  if (src_len != want) return false;
+  std::memcpy(dst, src, want);
+  return true;
+}
 
 template <typename T>
 bool read_pod(FILE* f, T* out, size_t n = 1) {
@@ -102,7 +129,8 @@ void* vnr_open(const char* path) {
   vf->H = H;
   vf->W = W;
   vf->C = C;
-  vf->flags = flags;
+  vf->codec = flags & 0xff;
+  vf->elem = flags >> 8 ? flags >> 8 : 1;
   vf->index.resize(n);
   for (uint32_t i = 0; i < n; ++i) {
     ExampleIndex& e = vf->index[i];
@@ -133,6 +161,36 @@ int vnr_num_examples(void* handle) {
   return static_cast<int>(static_cast<VnrFile*>(handle)->index.size());
 }
 
+// Frame geometry: out4 = {H, W, C, elem_size_bytes}.
+void vnr_frame_info(void* handle, int32_t* out4) {
+  auto* vf = static_cast<VnrFile*>(handle);
+  out4[0] = vf->H;
+  out4[1] = vf->W;
+  out4[2] = vf->C;
+  out4[3] = vf->elem;
+}
+
+// Decompress ALL raw frames of one example into out (caller sizes it as
+// max_frames * frame_bytes). No subsampling — used by the feature-extraction
+// pass, which must see every frame the random 1-of-4 pick can later select.
+// Returns the number of frames written, or -1 on error.
+int vnr_example_full(void* handle, int32_t idx, uint8_t* out, int max_frames) {
+  auto* vf = static_cast<VnrFile*>(handle);
+  if (idx < 0 || idx >= static_cast<int32_t>(vf->index.size())) return -1;
+  const ExampleIndex& e = vf->index[idx];
+  const size_t fb = vf->frame_bytes();
+  int n = static_cast<int>(e.num_frames);
+  if (n > max_frames) n = max_frames;
+  uint64_t off = e.offset;
+  for (int i = 0; i < n; ++i) {
+    if (!decode_frame(vf, vf->data.data() + off, e.frame_bytes[i],
+                      out + static_cast<size_t>(i) * fb))
+      return -1;
+    off += e.frame_bytes[i];
+  }
+  return n;
+}
+
 // v_len after 1-of-4 subsampling, for length-bucketed batching.
 void vnr_lengths(void* handle, int32_t* out) {
   auto* vf = static_cast<VnrFile*>(handle);
@@ -151,13 +209,12 @@ int vnr_batch(void* handle, const int32_t* indices, int n, int t_cap,
               int32_t* out_vlen, int32_t* out_q, int32_t* out_qlen,
               int32_t* out_label, int32_t* out_qid) {
   auto* vf = static_cast<VnrFile*>(handle);
-  const size_t frame_px = static_cast<size_t>(vf->H) * vf->W * vf->C;
+  const size_t frame_px = vf->frame_bytes();
   const size_t vid_stride = static_cast<size_t>(t_cap) * frame_px;
   std::atomic<int> cursor{0};
   std::atomic<int> status{0};
 
   auto worker = [&]() {
-    std::vector<uint8_t> scratch(frame_px);
     for (;;) {
       int b = cursor.fetch_add(1);
       if (b >= n || status.load() != 0) return;
@@ -187,21 +244,9 @@ int vnr_batch(void* handle, const int32_t* indices, int n, int t_cap,
         int keep = rng.uniform(i, hi);
         const uint8_t* src = vf->data.data() + frame_off[keep];
         uint8_t* dst = vid_out + static_cast<size_t>(count) * frame_px;
-        if (vf->flags == 1) {
-          uLongf dlen = frame_px;
-          if (uncompress(dst, &dlen, src, e.frame_bytes[keep]) != Z_OK ||
-              dlen != frame_px) {
-            status.store(3);
-            return;
-          }
-        } else if (vf->flags == 2) {
-          size_t dlen = ZSTD_decompress(dst, frame_px, src, e.frame_bytes[keep]);
-          if (ZSTD_isError(dlen) || dlen != frame_px) {
-            status.store(3);
-            return;
-          }
-        } else {
-          std::memcpy(dst, src, frame_px);
+        if (!decode_frame(vf, src, e.frame_bytes[keep], dst)) {
+          status.store(3);
+          return;
         }
         ++count;
       }

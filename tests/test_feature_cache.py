@@ -1,0 +1,124 @@
+"""Frozen-stem feature cache: container round-trip, parity with the online
+stem, and harness integration (--feature_cache).
+
+The cache (cli/extract_features.py) replaces the reference's per-batch stem
+recompute (eval/q_and_v_eval.py:101-110): features for every raw frame are
+stored bf16 in the VNR container, and the loader's per-(seed, example, epoch)
+subsample pick is unchanged — so cached batches must reproduce the online
+stem's features for the same frames.
+"""
+
+import os
+
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+import pytest
+
+from videonavqa_tpu.data.synthetic import generate_synthetic_dataset
+from videonavqa_tpu.data.vnr import (
+    RecordWriter, VNRBatchLoader, ensure_built, pack_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def packed_videos(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("fcache"))
+    generate_synthetic_dataset(base, num_houses=3, trajs_per_house=3, seed=3,
+                               video_format="npy", max_frames=30)
+    ensure_built()
+    out = os.path.join(base, "train.vnr")
+    ids = pack_dataset(base, out)
+    return base, out, ids
+
+
+def test_bf16_record_roundtrip(tmp_path):
+    """bf16 payloads survive write -> native decode bit-exactly."""
+    ensure_built()
+    rng = np.random.RandomState(0)
+    out = str(tmp_path / "feats.fnr")
+    w = RecordWriter(out, (4, 5, 8), elem_size=2)
+    frames_per_ex = []
+    for i in range(3):
+        t = 5 + 3 * i
+        f = rng.randn(t, 4, 5, 8).astype(ml_dtypes.bfloat16)
+        frames_per_ex.append(f)
+        w.add(f, tokens=[1, 2, 3 + i], label=i, q_id=i)
+    w.close()
+
+    loader = VNRBatchLoader(out, batch_size=3, shuffle=False)
+    assert loader.payload_key == "v_features"
+    assert loader.frame_shape == (4, 5, 8)
+    assert loader.elem_size == 2
+    for i, f in enumerate(frames_per_ex):
+        got = loader.example_frames(i)
+        assert got.dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            got.view(np.uint16), f.view(np.uint16))
+        tokens, label, q_id = loader.example_meta(i)
+        np.testing.assert_array_equal(tokens, [1, 2, 3 + i])
+        assert (label, q_id) == (i, i)
+    # batch path: subsampled picks land in the v_features key, zero-padded
+    batch = next(iter(loader.epoch(0)))
+    assert batch["v_features"].shape[2:] == (4, 5, 8)
+    assert "video" not in batch
+    loader.close()
+
+
+def test_cached_features_match_online_stem(packed_videos):
+    """extract_features over a packed split == the online stem on the very
+    same subsampled frames (same seed/epoch -> same 1-of-4 picks)."""
+    import argparse
+
+    from videonavqa_tpu.cli.common import load_stem
+    from videonavqa_tpu.cli.extract_features import extract_split
+    from videonavqa_tpu.data.pipeline import DataPaths
+    from videonavqa_tpu.ops.video import normalize_video
+
+    base, vnr_path, ids = packed_videos
+    args = argparse.Namespace(data_dir=base, chunk=16, compress="zstd")
+    stem_fn = load_stem(args, DataPaths(base))
+    out = extract_split(args, stem_fn, "train", ids)
+
+    vloader = VNRBatchLoader(vnr_path, batch_size=len(ids), shuffle=False,
+                             seed=11, deterministic=False)
+    floader = VNRBatchLoader(out, batch_size=len(ids), shuffle=False,
+                             seed=11, deterministic=False)
+    for epoch in (0, 2):
+        vb = next(iter(vloader.epoch(epoch)))
+        fb = next(iter(floader.epoch(epoch)))
+        np.testing.assert_array_equal(vb["v_len"], fb["v_len"])
+        np.testing.assert_array_equal(vb["question"], fb["question"])
+        np.testing.assert_array_equal(vb["label"], fb["label"])
+        online = np.asarray(stem_fn(normalize_video(jnp.asarray(vb["video"]))),
+                            dtype=np.float32)
+        cached = np.asarray(fb["v_features"], dtype=np.float32)
+        assert cached.shape == online.shape
+        # both are bf16-computed stems; extraction ran [1, chunk] shapes vs
+        # the online [B, T] fold, so allow a couple of bf16 ulps
+        np.testing.assert_allclose(cached, online, rtol=0.03, atol=0.03)
+        # padding frames stay zero
+        for i in range(len(ids)):
+            assert np.all(cached[i, fb["v_len"][i]:] == 0)
+    vloader.close()
+    floader.close()
+
+
+def test_harness_feature_cache_end_to_end(packed_videos, tmp_path):
+    """--feature_cache trains and tests the trunk without the stem."""
+    from videonavqa_tpu.cli import q_and_v_eval, q_and_v_test
+
+    base, _, _ = packed_videos
+    ckpt = str(tmp_path / "fc_ckpt.npz")
+    common = [
+        "--data_dir", base, "--model", "film_gp_pt", "--batch_size", "2",
+        "--num_res_blocks", "1", "--num_res_block_channels", "16",
+        "--num_tail_channels", "4", "--embed_size", "8", "--hidden_size", "8",
+        "--feature_cache", "true", "--compute_dtype", "float32",
+    ]
+    q_and_v_eval.main(common + ["--num_epochs", "1", "--checkpoint_path", ckpt])
+    assert os.path.exists(os.path.join(base, "features_train.fnr"))
+    assert os.path.exists(os.path.join(base, "features_val.fnr"))
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+    q_and_v_test.main(common + ["--checkpoint_path", epoch_path(ckpt, 0)])
+    assert os.path.exists(os.path.join(base, "features_test.fnr"))

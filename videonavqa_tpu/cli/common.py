@@ -104,6 +104,13 @@ def build_q_and_v_parser():
                              "first training batch; ~26%% faster stem on v5e, "
                              "~2%% feature error — validate accuracy before "
                              "paper-comparable runs)")
+    parser.add_argument("--feature_cache", type=lambda s: s.lower() == "true", default=False,
+                        help="precompute the frozen stem once per dataset "
+                             "(cli.extract_features, features_{split}.fnr) and "
+                             "train/eval the trunk on cached bf16 features — "
+                             "skips the stem every epoch with bit-identical "
+                             "features and unchanged per-epoch random frame "
+                             "subsampling")
     return parser
 
 
@@ -323,7 +330,27 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     # v_only_cnn3d's flatten geometry requires the full 35-frame volume
     bucket = getattr(args, "bucket_frames", False) and model_name != "v_only_cnn3d" \
         and not q_only
-    if getattr(args, "use_vnr", False) and not q_only:
+    stochastic = getattr(args, "stochastic_eval", False)
+    if getattr(args, "feature_cache", False) and h.spec.uses_stem and not q_only:
+        # Frozen-stem feature cache: extract once (cli.extract_features), then
+        # train/eval the trunk only — the stem never runs again this process.
+        if getattr(args, "int8_stem", False):
+            raise SystemExit("--feature_cache and --int8_stem are mutually "
+                             "exclusive (the cache is extracted with the bf16 stem)")
+        from videonavqa_tpu.cli.extract_features import ensure_features
+        from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built
+
+        ensure_built()
+        files = ensure_features(args, h.stem_fn, ("train", "val"), h.split)
+        h.stem_fn, h.needs_stem = None, False
+        vnr_kw = dict(seed=args.seed, bucket_by_length=bucket,
+                      frame_buckets=True if bucket else None)
+        train_loader = VNRBatchLoader(files["train"], args.batch_size,
+                                      shuffle=True, mode="train", **vnr_kw)
+        val_loader = VNRBatchLoader(files["val"], args.batch_size,
+                                    shuffle=False, mode="val",
+                                    deterministic=not stochastic, **vnr_kw)
+    elif getattr(args, "use_vnr", False) and not q_only:
         from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built, pack_dataset
 
         ensure_built()
@@ -411,7 +438,21 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
     h = Harness(args, model_name, q_only=q_only, v_only=v_only)
     test_ds = h.dataset("test", q_metadata=True, deterministic=True)
     print("%d test examples" % len(test_ds))
-    if getattr(args, "use_vnr", False) and not q_only:
+    if getattr(args, "feature_cache", False) and h.spec.uses_stem and not q_only:
+        if getattr(args, "int8_stem", False):
+            raise SystemExit("--feature_cache and --int8_stem are mutually "
+                             "exclusive (the cache is extracted with the bf16 stem)")
+        from videonavqa_tpu.cli.extract_features import ensure_features
+        from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built
+
+        ensure_built()
+        files = ensure_features(args, h.stem_fn, ("test",), h.split)
+        h.stem_fn, h.needs_stem = None, False
+        loader = VNRBatchLoader(
+            files["test"], args.batch_size, shuffle=False, mode="test",
+            deterministic=not getattr(args, "stochastic_eval", False),
+            seed=args.seed)
+    elif getattr(args, "use_vnr", False) and not q_only:
         from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built, pack_dataset
 
         ensure_built()

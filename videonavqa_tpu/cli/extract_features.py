@@ -1,0 +1,134 @@
+"""Precompute frozen-stem features into a feature-cache .fnr file.
+
+The reference recomputes the frozen VGG+detector stem on every batch of every
+epoch (eval/q_and_v_eval.py:101-110, under torch.no_grad — the stem never
+trains, eval/utils.py:42-51). Its features are therefore a pure function of
+the pixels, and a TPU-sized fraction of the step: ~188 ms of the 483 ms
+flagship train step (PERF.md). This CLI runs the stem ONCE over every raw
+frame of a packed dataset and stores the [10, 13, 512] feature planes as
+bf16 in the same VNR container the native loader reads (data/vnr.py); the
+harnesses then train/eval the trunk only (--feature_cache), skipping the stem
+every epoch while preserving the exact per-epoch random 1-of-4 temporal
+subsampling (eval/dataset.py:80-89): the cache holds features for every raw
+frame the subsampler can select, and the loader's deterministic
+(seed, example, epoch) pick applies unchanged.
+
+Storage is exact: stem features are computed in bf16 and cast to f32
+(stem/obj_detector.py:133), so their bf16 bit patterns round-trip losslessly.
+
+Usage:
+    python -m videonavqa_tpu.cli.extract_features --data_dir data/ \
+        --splits train,val,test [--frcnn_pretrained_path vgg16_caffe.pth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from videonavqa_tpu.data.pipeline import DataPaths, load_json
+from videonavqa_tpu.data.vnr import RecordWriter, VNRBatchLoader, ensure_built, pack_dataset
+from videonavqa_tpu.ops.video import normalize_video
+from videonavqa_tpu.utils import constants as C
+
+FEATURE_SHAPE = (10, 13, 512)  # detector grid (models/base.py:13)
+
+
+def feature_file(data_dir: str, split: str) -> str:
+    return os.path.join(data_dir, f"features_{split}.fnr")
+
+
+def make_stem_call(stem_fn, chunk: int):
+    """jit a fixed-shape per-chunk stem: u8 [chunk,160,208,3] -> bf16 feats."""
+
+    @jax.jit
+    def call(frames_u8):
+        video = normalize_video(frames_u8[None])  # [1, chunk, H, W, 3]
+        return stem_fn(video)[0].astype(jnp.bfloat16)
+
+    return call
+
+
+def extract_split(args, stem_fn, split: str, ids) -> str:
+    """Extract one split's features; returns the output path."""
+    src = os.path.join(args.data_dir, f"{split}.vnr")
+    if not os.path.exists(src):
+        print(f"=> Packing {split} split into {src}")
+        pack_dataset(args.data_dir, src, ids)
+    chunk = getattr(args, "chunk", 128)
+    loader = VNRBatchLoader(src, 1, shuffle=False, mode="test")
+    out = feature_file(args.data_dir, split)
+    writer = RecordWriter(out, FEATURE_SHAPE, elem_size=2,
+                          compress=getattr(args, "compress", "zstd"))
+    call = make_stem_call(stem_fn, chunk)
+    t0, n_frames = time.time(), 0
+    for i in range(loader.n):
+        frames = loader.example_frames(i)  # [T, 160, 208, 3] u8, T <= 140
+        tokens, label, q_id = loader.example_meta(i)
+        t = frames.shape[0]
+        feats = []
+        for s in range(0, t, chunk):
+            block = frames[s:s + chunk]
+            pad = chunk - block.shape[0]
+            if pad:
+                block = np.concatenate(
+                    [block, np.zeros((pad, *block.shape[1:]), block.dtype)])
+            feats.append(np.asarray(call(jnp.asarray(block))))
+        feats = np.concatenate(feats)[:t].astype(ml_dtypes.bfloat16)
+        writer.add(feats, tokens, label, q_id)
+        n_frames += t
+        if (i + 1) % 50 == 0:
+            print(f"   {split}: {i + 1}/{loader.n} examples "
+                  f"({n_frames / (time.time() - t0):.0f} frames/s)")
+    writer.close()
+    loader.close()
+    print(f"=> Wrote {out} ({loader.n} examples, {n_frames} frames, "
+          f"{os.path.getsize(out) / 1e6:.1f} MB, {time.time() - t0:.1f}s)")
+    return out
+
+
+def ensure_features(args, stem_fn, splits, split_map) -> dict:
+    """Extract any missing feature files; returns {split: path}."""
+    outs = {}
+    for split in splits:
+        out = feature_file(args.data_dir, split)
+        if not os.path.exists(out):
+            print(f"=> Extracting frozen-stem features for split '{split}'")
+            outs[split] = extract_split(args, stem_fn, split, split_map[split])
+        else:
+            outs[split] = out
+    return outs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--splits", type=str, default="train,val,test")
+    parser.add_argument("--frcnn_pretrained_path", type=str, default=None)
+    parser.add_argument("--chunk", type=int, default=128,
+                        help="frames per device call (fixed shape; 140-frame "
+                             "videos take at most 2 calls)")
+    parser.add_argument("--compress", type=str, default="zstd",
+                        choices=["zstd", "zlib", "raw"])
+    parser.add_argument("--jax_cache_dir", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    from videonavqa_tpu.cli.common import _maybe_enable_compile_cache, load_stem
+
+    _maybe_enable_compile_cache(args)
+    ensure_built()
+    paths = DataPaths(args.data_dir)
+    split_map = load_json(paths.split_file)
+    stem_fn = load_stem(args, paths)
+    for split in args.splits.split(","):
+        extract_split(args, stem_fn, split, split_map[split])
+
+
+if __name__ == "__main__":
+    main()

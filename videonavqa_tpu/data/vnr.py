@@ -12,10 +12,12 @@ from __future__ import annotations
 
 import ctypes
 import os
+import shutil
 import struct
 import subprocess
 import zlib
 
+import ml_dtypes
 import numpy as np
 
 from videonavqa_tpu.data.pipeline import DataPaths, _decode_video, load_json
@@ -55,6 +57,10 @@ def _load_lib():
             ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.vnr_frame_info.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.vnr_example_full.restype = ctypes.c_int
+        lib.vnr_example_full.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int]
         lib.vnr_close.argtypes = [ctypes.c_void_p]
         lib.vnr_zstd_compress.restype = ctypes.c_int64
         lib.vnr_zstd_compress.argtypes = [
@@ -76,8 +82,69 @@ def _zstd_compress(raw: bytes, level: int = 1) -> bytes:
     return dst.raw[:n]
 
 
-#: header flag values — frame codec
+#: header flag values — frame codec (low byte of the flags field; the high
+#: byte carries the payload element size in bytes, 0 == 1 for legacy files)
 _CODEC_FLAGS = {None: 0, "raw": 0, "zlib": 1, "zstd": 2, True: 2, False: 0}
+
+
+class RecordWriter:
+    """Streaming writer for the VNR container.
+
+    A "frame" is an opaque [H, W, C] plane of ``elem_size``-byte scalars:
+    u8 BGR pixels for video files, or bf16 frozen-stem feature values (stored
+    as their u16 bit pattern) for feature-cache files written by
+    cli/extract_features.py. Data blobs stream to a sidecar file so packing
+    never holds the dataset in memory; the small index is buffered and the
+    final file is assembled atomically on close().
+    """
+
+    def __init__(self, out_file, frame_shape, *, elem_size=1, compress="zstd"):
+        self.out_file = out_file
+        self.frame_shape = tuple(int(s) for s in frame_shape)
+        self.elem_size = int(elem_size)
+        self.codec = _CODEC_FLAGS[compress]
+        self._index = []
+        self._offset = 0
+        self._data_path = out_file + ".data.tmp"
+        self._data_f = open(self._data_path, "wb")
+
+    def add(self, frames, tokens, label, q_id=0):
+        """frames: [T, H, W, C] ndarray whose dtype itemsize == elem_size."""
+        frames = np.ascontiguousarray(frames)
+        assert frames.shape[1:] == self.frame_shape, frames.shape
+        assert frames.dtype.itemsize == self.elem_size, frames.dtype
+        blobs = []
+        for frame in frames:
+            raw = frame.tobytes()
+            if self.codec == 1:
+                blobs.append(zlib.compress(raw, 1))
+            elif self.codec == 2:
+                blobs.append(_zstd_compress(raw))
+            else:
+                blobs.append(raw)
+        tokens = np.asarray(tokens, dtype=np.int64)
+        idx = struct.pack("<QI", self._offset, len(blobs))
+        idx += struct.pack(f"<{len(blobs)}I", *[len(b) for b in blobs])
+        idx += struct.pack("<Iii", len(tokens), int(label), int(q_id))
+        idx += tokens.tobytes()
+        self._index.append(idx)
+        for b in blobs:
+            self._data_f.write(b)
+            self._offset += len(b)
+
+    def close(self):
+        self._data_f.close()
+        H, W, Ch = self.frame_shape
+        flags = self.codec | (self.elem_size << 8)
+        tmp = self.out_file + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(struct.pack("<IIIHHHH", _MAGIC, 1, len(self._index),
+                                H, W, Ch, flags))
+            f.writelines(self._index)
+            with open(self._data_path, "rb") as d:
+                shutil.copyfileobj(d, f)
+        os.remove(self._data_path)
+        os.replace(tmp, self.out_file)
 
 
 def pack_dataset(base_dir, out_file, example_ids=None, *, compress="zstd"):
@@ -87,46 +154,19 @@ def pack_dataset(base_dir, out_file, example_ids=None, *, compress="zstd"):
     at a similar ratio), 'zlib', or None/'raw'. Returns the list of example
     ids in file order (the loader's index space).
     """
-    codec = _CODEC_FLAGS[compress]
     paths = DataPaths(base_dir)
     labels = load_json(paths.labels_file)
     q_ids = load_json(paths.q_ids_file) if os.path.exists(paths.q_ids_file) else {}
     ids = sorted(example_ids if example_ids is not None else labels)
 
-    index_blobs, data_blobs = [], []
-    offset = 0
+    w = RecordWriter(out_file, (C.VID_HEIGHT, C.VID_WIDTH, 3),
+                     elem_size=1, compress=compress)
     for ex_id in ids:
         video = _decode_video(os.path.join(paths.videos_dir, ex_id))
         assert video.shape[1:] == (C.VID_HEIGHT, C.VID_WIDTH, 3), video.shape
-        frames = []
-        for frame in video:
-            raw = np.ascontiguousarray(frame).tobytes()
-            if codec == 1:
-                frames.append(zlib.compress(raw, 1))
-            elif codec == 2:
-                frames.append(_zstd_compress(raw))
-            else:
-                frames.append(raw)
         tokens = np.load(os.path.join(paths.questions_dir, ex_id + ".npy")).astype(np.int64)
-
-        idx = struct.pack("<QI", offset, len(frames))
-        idx += struct.pack(f"<{len(frames)}I", *[len(b) for b in frames])
-        idx += struct.pack("<Iii", len(tokens), int(labels[ex_id]),
-                           int(q_ids.get(ex_id, 0)))
-        idx += tokens.tobytes()
-        index_blobs.append(idx)
-        blob = b"".join(frames)
-        data_blobs.append(blob)
-        offset += len(blob)
-
-    header = struct.pack("<IIIHHHH", _MAGIC, 1, len(ids), C.VID_HEIGHT,
-                         C.VID_WIDTH, 3, codec)
-    tmp = out_file + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(header)
-        f.writelines(index_blobs)
-        f.writelines(data_blobs)
-    os.replace(tmp, out_file)
+        w.add(video, tokens, int(labels[ex_id]), int(q_ids.get(ex_id, 0)))
+    w.close()
     return ids
 
 
@@ -135,6 +175,12 @@ class VNRBatchLoader:
 
     Same epoch()/len() surface as pipeline.BatchLoader (train/val drop-last,
     test pad-and-slice; optional length-bucketed batches with frame trimming).
+
+    Works over both payloads the container supports: u8 video files (batch
+    key "video") and bf16 frozen-stem feature files (batch key "v_features",
+    elem_size 2) — the subsample/pad/bucket logic is identical, so a feature
+    file built from every raw frame reproduces the exact frame picks of its
+    source video file under the same (seed, index, epoch).
     """
 
     def __init__(self, path, batch_size, *, shuffle=True, mode="train",
@@ -147,6 +193,18 @@ class VNRBatchLoader:
         if not self._handle:
             raise IOError(f"could not open VNR file {path}")
         self.n = self._lib.vnr_num_examples(self._handle)
+        info = np.zeros(4, dtype=np.int32)
+        self._lib.vnr_frame_info(self._handle,
+                                 info.ctypes.data_as(ctypes.c_void_p))
+        self.frame_shape = tuple(int(s) for s in info[:3])
+        self.elem_size = int(info[3])
+        if self.elem_size == 1:
+            self.frame_dtype, self.payload_key = np.dtype(np.uint8), "video"
+        elif self.elem_size == 2:
+            self.frame_dtype = np.dtype(ml_dtypes.bfloat16)
+            self.payload_key = "v_features"
+        else:
+            raise ValueError(f"unsupported VNR elem_size {self.elem_size}")
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.mode = mode
@@ -176,12 +234,44 @@ class VNRBatchLoader:
         except Exception:
             pass
 
+    def example_frames(self, idx, max_frames=None):
+        """All raw frames of one example, [T, H, W, C] — the feature
+        extractor's input view (no subsampling). ``max_frames`` defaults to
+        the 140-frame cap the batch subsampler applies (4 * 35,
+        eval/utils.py:19-20), so a feature file built from this view covers
+        every frame the loader can later pick."""
+        cap = (C.DROP_EVERY_N_FRAMES * C.MAX_ALLOWED_NUM_FRAMES_DROPPING
+               if max_frames is None else max_frames)
+        out = np.empty((cap, *self.frame_shape), dtype=self.frame_dtype)
+        n = self._lib.vnr_example_full(
+            self._handle, int(idx), out.ctypes.data_as(ctypes.c_void_p), cap)
+        if n < 0:
+            raise RuntimeError(f"vnr_example_full failed for example {idx}")
+        return out[:n]
+
+    def example_meta(self, idx):
+        """(tokens, label, q_id) of one example, via a 1-example batch call."""
+        q = np.empty((1, C.MAX_Q_LEN), dtype=np.int32)
+        q_len = np.empty(1, dtype=np.int32)
+        label = np.empty(1, dtype=np.int32)
+        q_id = np.empty(1, dtype=np.int32)
+        v_len = np.empty(1, dtype=np.int32)
+        payload = np.empty((1, 1, *self.frame_shape), dtype=self.frame_dtype)
+        idx_arr = np.asarray([idx], dtype=np.int32)
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        rc = self._lib.vnr_batch(
+            self._handle, ptr(idx_arr), 1, 1, ctypes.c_uint64(0), 0, 1,
+            ptr(payload), ptr(v_len), ptr(q), ptr(q_len), ptr(label), ptr(q_id))
+        if rc != 0:
+            raise RuntimeError(f"vnr_batch failed with status {rc}")
+        return q[0, :q_len[0]].astype(np.int64), int(label[0]), int(q_id[0])
+
     def _load(self, idxs, t_cap, epoch):
         B = self.batch_size
         n_valid = len(idxs)
         idx_arr = np.full(B, 0, dtype=np.int32)
         idx_arr[:n_valid] = idxs
-        video = np.empty((B, t_cap, C.VID_HEIGHT, C.VID_WIDTH, 3), dtype=np.uint8)
+        video = np.empty((B, t_cap, *self.frame_shape), dtype=self.frame_dtype)
         v_len = np.empty(B, dtype=np.int32)
         q = np.empty((B, C.MAX_Q_LEN), dtype=np.int32)
         q_len = np.empty(B, dtype=np.int32)
@@ -202,8 +292,9 @@ class VNRBatchLoader:
             q_len[n_valid:] = 1
             label[n_valid:] = 0
             q_id[n_valid:] = 35  # eval/q_and_v_test.py:86
-        return {"video": video, "v_len": v_len, "question": q, "q_len": q_len,
-                "label": label, "q_id": q_id, "num_valid": np.int32(n_valid)}
+        return {self.payload_key: video, "v_len": v_len, "question": q,
+                "q_len": q_len, "label": label, "q_id": q_id,
+                "num_valid": np.int32(n_valid)}
 
     def epoch(self, epoch=0):
         order = np.arange(self.n)

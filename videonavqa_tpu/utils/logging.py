@@ -67,7 +67,11 @@ def maybe_profile(trace_dir=None):
 
 
 class StepTimer:
-    """block_until_ready-fenced step timing with a short warmup skip."""
+    """block_until_ready-fenced step timing with a short warmup skip.
+
+    Caveat: on the remote axon backend block_until_ready can return before
+    queued execution drains — fetch a VALUE (float()/device_get) for a hard
+    fence when measuring there (see bench.py)."""
 
     def __init__(self, skip=2):
         self.skip = skip
