@@ -56,6 +56,11 @@ def main(argv=None):
                              "(cli.extract_features): the stem never runs in "
                              "the step. Device mode feeds synthetic bf16 "
                              "features; --e2e extracts a real cache first")
+    parser.add_argument("--feature_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float8_e4m3"],
+                        help="storage dtype for the --e2e feature cache (fp8 "
+                             "halves decode+transfer bytes; 0.32%% logit "
+                             "drift, scripts/fp8_cache_parity.py)")
     parser.add_argument("--remat", type=lambda s: s.lower() == "true", default=False)
     parser.add_argument("--stem_chunk", type=int, default=None,
                         help="lax.map the stem over frame chunks (memory cap for b64+)")
@@ -221,16 +226,19 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
     if args.feature_cache:
         # one-time stem pass over the dataset (cli.extract_features); epochs
         # then skip the stem entirely and stream cached bf16 features
-        feat_path = os.path.join(base, "features_bench_train.fnr")
+        tagd = "_fp8" if args.feature_dtype == "float8_e4m3" else ""
+        feat_path = os.path.join(base, f"features_bench_train{tagd}.fnr")
         if not os.path.exists(feat_path):
             import argparse as _ap
 
-            from videonavqa_tpu.cli.extract_features import extract_split
+            from videonavqa_tpu.cli.extract_features import extract_split, feature_file
 
             print("# extracting frozen-stem feature cache", file=sys.stderr)
             extract_split(_ap.Namespace(data_dir=base, chunk=128,
-                                        compress="zstd"),
+                                        compress="zstd",
+                                        feature_dtype=args.feature_dtype),
                           stem_fn, "bench_train", split["train"])
+            os.replace(feature_file(base, "bench_train"), feat_path)
         vnr_path = feat_path
         stem_fn = None
 
@@ -274,7 +282,9 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
     key = jax.random.PRNGKey(7)
     for t in buckets:
         if args.feature_cache:
-            visual = {"v_features": jnp.zeros((B, t, 10, 13, 512), jnp.bfloat16)}
+            fdt = (jnp.float8_e4m3fn if args.feature_dtype == "float8_e4m3"
+                   else jnp.bfloat16)
+            visual = {"v_features": jnp.zeros((B, t, 10, 13, 512), fdt)}
         else:
             visual = {"video": jnp.zeros((B, t, 160, 208, 3), jnp.uint8)}
         wb = {**visual,

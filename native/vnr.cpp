@@ -10,14 +10,17 @@
 // plain C ABI (ctypes).
 //
 // The same container also carries precomputed frozen-stem features
-// (cli/extract_features.py): a "frame" is then a [10, 13, 512] bf16 plane
-// instead of a [160, 208, 3] u8 image. The payload element size lives in the
-// high byte of the flags field (0 or 1 => 1 byte, legacy video files).
+// (cli/extract_features.py): a "frame" is then a [10, 13, 512] bf16 or fp8
+// plane instead of a [160, 208, 3] u8 image. The payload code lives in the
+// high byte of the flags field:
+//   0 or 1 = u8 video frames (legacy files wrote 0; pack_dataset writes 1)
+//   2      = bf16 feature planes (2 bytes/elem, u16 bit patterns)
+//   3      = float8_e4m3 feature planes (1 byte/elem)
 //
 // File layout (little-endian):
 //   magic 'VNR1' | u32 version | u32 num_examples | u16 H | u16 W | u16 C
 //   | u16 flags (low byte: 0 = raw frames, 1 = zlib frames, 2 = zstd frames;
-//                high byte: payload element size in bytes, 0 == 1)
+//                high byte: payload code above)
 //   index[num_examples]:
 //     u64 video_offset | u32 num_frames | u32 frame_comp_bytes[... per frame]
 //       -> stored as: u64 offset, u32 num_frames, then per-frame u32 sizes
@@ -62,10 +65,11 @@ struct VnrFile {
   FILE* f = nullptr;
   std::vector<uint8_t> data;  // whole data section, resident
   uint64_t data_start = 0;
-  uint16_t H = 0, W = 0, C = 0, codec = 0, elem = 1;
+  uint16_t H = 0, W = 0, C = 0, codec = 0, code = 0;
   std::vector<ExampleIndex> index;
+  size_t elem() const { return code == 2 ? 2 : 1; }
   size_t frame_bytes() const {
-    return static_cast<size_t>(H) * W * C * elem;
+    return static_cast<size_t>(H) * W * C * elem();
   }
 };
 
@@ -130,7 +134,7 @@ void* vnr_open(const char* path) {
   vf->W = W;
   vf->C = C;
   vf->codec = flags & 0xff;
-  vf->elem = flags >> 8 ? flags >> 8 : 1;
+  vf->code = flags >> 8;
   vf->index.resize(n);
   for (uint32_t i = 0; i < n; ++i) {
     ExampleIndex& e = vf->index[i];
@@ -161,13 +165,13 @@ int vnr_num_examples(void* handle) {
   return static_cast<int>(static_cast<VnrFile*>(handle)->index.size());
 }
 
-// Frame geometry: out4 = {H, W, C, elem_size_bytes}.
+// Frame geometry: out4 = {H, W, C, payload_code}.
 void vnr_frame_info(void* handle, int32_t* out4) {
   auto* vf = static_cast<VnrFile*>(handle);
   out4[0] = vf->H;
   out4[1] = vf->W;
   out4[2] = vf->C;
-  out4[3] = vf->elem;
+  out4[3] = vf->code;
 }
 
 // Decompress ALL raw frames of one example into out (caller sizes it as

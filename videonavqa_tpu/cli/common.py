@@ -171,8 +171,13 @@ def load_stem(args, paths: DataPaths, calibration_video=None):
 
         return stem_fn
 
+    # the stem follows --compute_dtype (bfloat16 default on TPU; tests pass
+    # float32, which is also much faster on CPU where bf16 is emulated)
+    stem_dtype = jnp.dtype(getattr(args, "compute_dtype", "bfloat16"))
+
     def stem_fn(video):
-        return stem_features(vgg_params, det_params, det_state, video)
+        return stem_features(vgg_params, det_params, det_state, video,
+                             dtype=stem_dtype)
 
     return stem_fn
 

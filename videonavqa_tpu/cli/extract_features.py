@@ -13,8 +13,10 @@ subsampling (eval/dataset.py:80-89): the cache holds features for every raw
 frame the subsampler can select, and the loader's deterministic
 (seed, example, epoch) pick applies unchanged.
 
-Storage is exact: stem features are computed in bf16 and cast to f32
-(stem/obj_detector.py:133), so their bf16 bit patterns round-trip losslessly.
+Storage is exact for the bf16-compute default: stem features are computed in
+bf16 and cast to f32 (stem/obj_detector.py:133), so their bf16 bit patterns
+round-trip losslessly. With --compute_dtype float32 the cache rounds each
+feature once to bf16 (<=0.4% relative).
 
 Usage:
     python -m videonavqa_tpu.cli.extract_features --data_dir data/ \
@@ -44,13 +46,13 @@ def feature_file(data_dir: str, split: str) -> str:
     return os.path.join(data_dir, f"features_{split}.fnr")
 
 
-def make_stem_call(stem_fn, chunk: int):
-    """jit a fixed-shape per-chunk stem: u8 [chunk,160,208,3] -> bf16 feats."""
+def make_stem_call(stem_fn, chunk: int, store_dtype):
+    """jit a fixed-shape per-chunk stem: u8 [chunk,160,208,3] -> stored feats."""
 
     @jax.jit
     def call(frames_u8):
         video = normalize_video(frames_u8[None])  # [1, chunk, H, W, 3]
-        return stem_fn(video)[0].astype(jnp.bfloat16)
+        return stem_fn(video)[0].astype(store_dtype)
 
     return call
 
@@ -62,11 +64,14 @@ def extract_split(args, stem_fn, split: str, ids) -> str:
         print(f"=> Packing {split} split into {src}")
         pack_dataset(args.data_dir, src, ids)
     chunk = getattr(args, "chunk", 128)
+    payload = getattr(args, "feature_dtype", "bfloat16")
+    store_dtype = {"bfloat16": ml_dtypes.bfloat16,
+                   "float8_e4m3": ml_dtypes.float8_e4m3fn}[payload]
     loader = VNRBatchLoader(src, 1, shuffle=False, mode="test")
     out = feature_file(args.data_dir, split)
-    writer = RecordWriter(out, FEATURE_SHAPE, elem_size=2,
+    writer = RecordWriter(out, FEATURE_SHAPE, payload=payload,
                           compress=getattr(args, "compress", "zstd"))
-    call = make_stem_call(stem_fn, chunk)
+    call = make_stem_call(stem_fn, chunk, jnp.dtype(store_dtype))
     t0, n_frames = time.time(), 0
     for i in range(loader.n):
         frames = loader.example_frames(i)  # [T, 160, 208, 3] u8, T <= 140
@@ -80,7 +85,7 @@ def extract_split(args, stem_fn, split: str, ids) -> str:
                 block = np.concatenate(
                     [block, np.zeros((pad, *block.shape[1:]), block.dtype)])
             feats.append(np.asarray(call(jnp.asarray(block))))
-        feats = np.concatenate(feats)[:t].astype(ml_dtypes.bfloat16)
+        feats = np.concatenate(feats)[:t].astype(store_dtype)
         writer.add(feats, tokens, label, q_id)
         n_frames += t
         if (i + 1) % 50 == 0:
@@ -116,6 +121,12 @@ def main(argv=None):
                              "videos take at most 2 calls)")
     parser.add_argument("--compress", type=str, default="zstd",
                         choices=["zstd", "zlib", "raw"])
+    parser.add_argument("--feature_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float8_e4m3"],
+                        help="bf16 is lossless vs the bf16-compute stem; fp8 "
+                             "halves disk + host->device bandwidth at ~3%% "
+                             "per-element feature error (validate task "
+                             "accuracy, see PERF.md)")
     parser.add_argument("--jax_cache_dir", type=str, default=None)
     args = parser.parse_args(argv)
 

@@ -83,25 +83,35 @@ def _zstd_compress(raw: bytes, level: int = 1) -> bytes:
 
 
 #: header flag values — frame codec (low byte of the flags field; the high
-#: byte carries the payload element size in bytes, 0 == 1 for legacy files)
+#: byte carries the payload code, see _PAYLOADS)
 _CODEC_FLAGS = {None: 0, "raw": 0, "zlib": 1, "zstd": 2, True: 2, False: 0}
+
+#: payload code -> (numpy dtype, batch key); code 0 = legacy video files
+_PAYLOADS = {
+    0: (np.dtype(np.uint8), "video"),
+    1: (np.dtype(np.uint8), "video"),
+    2: (np.dtype(ml_dtypes.bfloat16), "v_features"),
+    3: (np.dtype(ml_dtypes.float8_e4m3fn), "v_features"),
+}
+_PAYLOAD_CODES = {"u8": 1, "bfloat16": 2, "float8_e4m3": 3}
 
 
 class RecordWriter:
     """Streaming writer for the VNR container.
 
-    A "frame" is an opaque [H, W, C] plane of ``elem_size``-byte scalars:
-    u8 BGR pixels for video files, or bf16 frozen-stem feature values (stored
-    as their u16 bit pattern) for feature-cache files written by
-    cli/extract_features.py. Data blobs stream to a sidecar file so packing
-    never holds the dataset in memory; the small index is buffered and the
-    final file is assembled atomically on close().
+    A "frame" is an opaque [H, W, C] plane whose scalar type is named by
+    ``payload``: 'u8' BGR pixels for video files, or 'bfloat16' /
+    'float8_e4m3' frozen-stem feature values (stored as raw bit patterns) for
+    feature-cache files written by cli/extract_features.py. Data blobs stream
+    to a sidecar file so packing never holds the dataset in memory; the small
+    index is buffered and the final file is assembled atomically on close().
     """
 
-    def __init__(self, out_file, frame_shape, *, elem_size=1, compress="zstd"):
+    def __init__(self, out_file, frame_shape, *, payload="u8", compress="zstd"):
         self.out_file = out_file
         self.frame_shape = tuple(int(s) for s in frame_shape)
-        self.elem_size = int(elem_size)
+        self.payload_code = _PAYLOAD_CODES[payload]
+        self.elem_size = _PAYLOADS[self.payload_code][0].itemsize
         self.codec = _CODEC_FLAGS[compress]
         self._index = []
         self._offset = 0
@@ -135,7 +145,7 @@ class RecordWriter:
     def close(self):
         self._data_f.close()
         H, W, Ch = self.frame_shape
-        flags = self.codec | (self.elem_size << 8)
+        flags = self.codec | (self.payload_code << 8)
         tmp = self.out_file + ".tmp"
         with open(tmp, "wb") as f:
             f.write(struct.pack("<IIIHHHH", _MAGIC, 1, len(self._index),
@@ -160,7 +170,7 @@ def pack_dataset(base_dir, out_file, example_ids=None, *, compress="zstd"):
     ids = sorted(example_ids if example_ids is not None else labels)
 
     w = RecordWriter(out_file, (C.VID_HEIGHT, C.VID_WIDTH, 3),
-                     elem_size=1, compress=compress)
+                     payload="u8", compress=compress)
     for ex_id in ids:
         video = _decode_video(os.path.join(paths.videos_dir, ex_id))
         assert video.shape[1:] == (C.VID_HEIGHT, C.VID_WIDTH, 3), video.shape
@@ -197,14 +207,11 @@ class VNRBatchLoader:
         self._lib.vnr_frame_info(self._handle,
                                  info.ctypes.data_as(ctypes.c_void_p))
         self.frame_shape = tuple(int(s) for s in info[:3])
-        self.elem_size = int(info[3])
-        if self.elem_size == 1:
-            self.frame_dtype, self.payload_key = np.dtype(np.uint8), "video"
-        elif self.elem_size == 2:
-            self.frame_dtype = np.dtype(ml_dtypes.bfloat16)
-            self.payload_key = "v_features"
-        else:
-            raise ValueError(f"unsupported VNR elem_size {self.elem_size}")
+        self.payload_code = int(info[3])
+        if self.payload_code not in _PAYLOADS:
+            raise ValueError(f"unsupported VNR payload code {self.payload_code}")
+        self.frame_dtype, self.payload_key = _PAYLOADS[self.payload_code]
+        self.elem_size = self.frame_dtype.itemsize
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.mode = mode

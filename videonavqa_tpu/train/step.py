@@ -50,6 +50,11 @@ def clip_grads(grads, *, clip_value=None, elementwise_clamp=None):
 def _forward(spec, cfg, params, state, batch, rng, *, train, stem_fn=None):
     if stem_fn is not None and spec.uses_stem and "v_features" not in batch:
         batch = dict(batch, v_features=stem_fn(normalize_video(batch["video"])))
+    elif "v_features" in batch and batch["v_features"].dtype == jnp.float8_e4m3fn:
+        # fp8 feature-cache storage: widen to the compute dtype in-graph (XLA
+        # fuses the cast into the first trunk conv)
+        batch = dict(batch, v_features=batch["v_features"].astype(
+            jnp.dtype(cfg.compute_dtype)))
     return spec.apply(params, state, batch, cfg, train=train, rng=rng)
 
 
