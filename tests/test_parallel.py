@@ -120,6 +120,28 @@ def test_dp_matches_single_device(model):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
 
 
+def test_dp_fp8_feature_batch_matches_single_device():
+    """fp8 feature-cache batches (train/step widens e4m3 in-graph) shard the
+    same as bf16/f32 features: DP step == single-device step bit-for-bit on
+    the same fp8 inputs."""
+    import ml_dtypes
+
+    mesh = make_mesh(8, model_parallel=1)
+    spec, params, state, optimizer, opt_state, step = _setup(mesh, CFG)
+    batch = _batch(jax.random.PRNGKey(9), B=16)
+    batch["v_features"] = jnp.asarray(
+        np.asarray(batch["v_features"]).astype(ml_dtypes.float8_e4m3fn))
+    rng = jax.random.PRNGKey(5)
+
+    p1, s1, o1, m1 = step(params, state, opt_state, batch, rng)
+    paramsS, stateS, optS, batchS = _shard_all(mesh, params, state, opt_state, batch)
+    with mesh:
+        p2, s2, o2, m2 = step(paramsS, stateS, optS, batchS, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for l1, l2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2.5e-3)
+
+
 def test_eval_step_dp_matches_single_device():
     """make_eval_step under DP sharding == single device (ragged lengths)."""
     from videonavqa_tpu.train.step import make_eval_step
