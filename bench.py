@@ -226,19 +226,19 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
     if args.feature_cache:
         # one-time stem pass over the dataset (cli.extract_features); epochs
         # then skip the stem entirely and stream cached bf16 features
-        tagd = "_fp8" if args.feature_dtype == "float8_e4m3" else ""
-        feat_path = os.path.join(base, f"features_bench_train{tagd}.fnr")
+        from videonavqa_tpu.cli.extract_features import feature_file
+
+        feat_path = feature_file(base, "bench_train", args.feature_dtype)
         if not os.path.exists(feat_path):
             import argparse as _ap
 
-            from videonavqa_tpu.cli.extract_features import extract_split, feature_file
+            from videonavqa_tpu.cli.extract_features import extract_split
 
             print("# extracting frozen-stem feature cache", file=sys.stderr)
             extract_split(_ap.Namespace(data_dir=base, chunk=128,
                                         compress="zstd",
                                         feature_dtype=args.feature_dtype),
                           stem_fn, "bench_train", split["train"])
-            os.replace(feature_file(base, "bench_train"), feat_path)
         vnr_path = feat_path
         stem_fn = None
 

@@ -169,5 +169,6 @@ def test_harness_feature_cache_end_to_end(packed_videos, tmp_path):
     assert os.path.exists(os.path.join(base, "features_train.fnr"))
     assert os.path.exists(os.path.join(base, "features_val.fnr"))
     from videonavqa_tpu.utils.checkpoint import epoch_path
-    q_and_v_test.main(common + ["--checkpoint_path", epoch_path(ckpt, 0)])
-    assert os.path.exists(os.path.join(base, "features_test.fnr"))
+    q_and_v_test.main(common + ["--checkpoint_path", epoch_path(ckpt, 0),
+                                "--feature_dtype", "float8_e4m3"])
+    assert os.path.exists(os.path.join(base, "features_test_fp8.fnr"))

@@ -111,6 +111,11 @@ def build_q_and_v_parser():
                              "skips the stem every epoch with bit-identical "
                              "features and unchanged per-epoch random frame "
                              "subsampling")
+    parser.add_argument("--feature_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float8_e4m3"],
+                        help="storage dtype for --feature_cache (fp8 halves "
+                             "cache disk + transfer; 0.32%% logit drift at "
+                             "the flagship config, scripts/fp8_cache_parity.py)")
     return parser
 
 

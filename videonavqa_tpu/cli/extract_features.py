@@ -42,8 +42,9 @@ from videonavqa_tpu.utils import constants as C
 FEATURE_SHAPE = (10, 13, 512)  # detector grid (models/base.py:13)
 
 
-def feature_file(data_dir: str, split: str) -> str:
-    return os.path.join(data_dir, f"features_{split}.fnr")
+def feature_file(data_dir: str, split: str, feature_dtype: str = "bfloat16") -> str:
+    tag = "_fp8" if feature_dtype == "float8_e4m3" else ""
+    return os.path.join(data_dir, f"features_{split}{tag}.fnr")
 
 
 def make_stem_call(stem_fn, chunk: int, store_dtype):
@@ -64,11 +65,11 @@ def extract_split(args, stem_fn, split: str, ids) -> str:
         print(f"=> Packing {split} split into {src}")
         pack_dataset(args.data_dir, src, ids)
     chunk = getattr(args, "chunk", 128)
-    payload = getattr(args, "feature_dtype", "bfloat16")
+    payload = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
     store_dtype = {"bfloat16": ml_dtypes.bfloat16,
                    "float8_e4m3": ml_dtypes.float8_e4m3fn}[payload]
     loader = VNRBatchLoader(src, 1, shuffle=False, mode="test")
-    out = feature_file(args.data_dir, split)
+    out = feature_file(args.data_dir, split, payload)
     writer = RecordWriter(out, FEATURE_SHAPE, payload=payload,
                           compress=getattr(args, "compress", "zstd"))
     call = make_stem_call(stem_fn, chunk, jnp.dtype(store_dtype))
@@ -101,8 +102,9 @@ def extract_split(args, stem_fn, split: str, ids) -> str:
 def ensure_features(args, stem_fn, splits, split_map) -> dict:
     """Extract any missing feature files; returns {split: path}."""
     outs = {}
+    dtype = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
     for split in splits:
-        out = feature_file(args.data_dir, split)
+        out = feature_file(args.data_dir, split, dtype)
         if not os.path.exists(out):
             print(f"=> Extracting frozen-stem features for split '{split}'")
             outs[split] = extract_split(args, stem_fn, split, split_map[split])
