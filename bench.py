@@ -45,6 +45,7 @@ def main(argv=None):
     parser.add_argument("--model", type=str, default="film_attn_pt")
     parser.add_argument("--num_res_blocks", type=int, default=5)
     parser.add_argument("--num_res_block_channels", type=int, default=1024)
+    parser.add_argument("--num_tail_channels", type=int, default=64)
     parser.add_argument("--mode", type=str, default="train", choices=["train", "eval"],
                         help="train = full step (stem+fwd+bwd+adam); eval = "
                              "inference forward only")
@@ -78,6 +79,7 @@ def main(argv=None):
 
     cfg = ModelConfig(model=args.model, num_res_blocks=args.num_res_blocks,
                       num_res_block_channels=args.num_res_block_channels,
+                      num_tail_channels=args.num_tail_channels,
                       use_pallas_kernels=args.use_pallas_kernels,
                       remat_film_blocks=args.remat)
     spec = get_model(cfg.model)
@@ -112,9 +114,11 @@ def main(argv=None):
         run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn)
         return
 
+    clamp = 1.0 if args.model == "mac" else None  # harness parity (cli/common.py)
     if args.mode == "train":
         train_step = make_train_step(spec, cfg, optimizer, reduction="sum",
-                                     clip_value=1.0, stem_fn=step_stem_fn)
+                                     clip_value=1.0, elementwise_clamp=clamp,
+                                     stem_fn=step_stem_fn)
 
         def step(params, state, opt_state, batch, rng):
             return train_step(params, state, opt_state, batch, rng)
@@ -187,7 +191,7 @@ def main(argv=None):
     videos_per_sec = n_steps * B / dt
     tag = "_fcache" if args.feature_cache else ""
     print(json.dumps({
-        "metric": f"film_attn_{args.mode}{tag}_videos_per_sec_per_chip",
+        "metric": f"{args.model}_{args.mode}{tag}_videos_per_sec_per_chip",
         "value": round(videos_per_sec, 2),
         "unit": "videos/s",
         "vs_baseline": round(videos_per_sec / P100_VIDEOS_PER_SEC, 2),
@@ -246,8 +250,10 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
     buckets = (12, 20, 28, 35)  # same trim targets as the device bench
     loader = VNRBatchLoader(vnr_path, B, shuffle=True, bucket_by_length=True,
                             frame_buckets=buckets, seed=0)
-    train_step = make_train_step(spec, cfg, optimizer, reduction="sum",
-                                 clip_value=1.0, stem_fn=stem_fn)
+    train_step = make_train_step(
+        spec, cfg, optimizer, reduction="sum", clip_value=1.0,
+        elementwise_clamp=1.0 if args.model == "mac" else None,
+        stem_fn=stem_fn)
 
     def prepare(np_batch):
         np_batch.pop("q_id", None)

@@ -74,25 +74,25 @@ def extract_split(args, stem_fn, split: str, ids) -> str:
                           compress=getattr(args, "compress", "zstd"))
     call = make_stem_call(stem_fn, chunk, jnp.dtype(store_dtype))
     t0, n_frames = time.time(), 0
-    for i in range(loader.n):
-        frames = loader.example_frames(i)  # [T, 160, 208, 3] u8, T <= 140
-        tokens, label, q_id = loader.example_meta(i)
-        t = frames.shape[0]
-        feats = []
-        for s in range(0, t, chunk):
-            block = frames[s:s + chunk]
-            pad = chunk - block.shape[0]
-            if pad:
-                block = np.concatenate(
-                    [block, np.zeros((pad, *block.shape[1:]), block.dtype)])
-            feats.append(np.asarray(call(jnp.asarray(block))))
-        feats = np.concatenate(feats)[:t].astype(store_dtype)
-        writer.add(feats, tokens, label, q_id)
-        n_frames += t
-        if (i + 1) % 50 == 0:
-            print(f"   {split}: {i + 1}/{loader.n} examples "
-                  f"({n_frames / (time.time() - t0):.0f} frames/s)")
-    writer.close()
+    with writer:
+        for i in range(loader.n):
+            frames = loader.example_frames(i)  # [T, 160, 208, 3] u8, T <= 140
+            tokens, label, q_id = loader.example_meta(i)
+            t = frames.shape[0]
+            feats = []
+            for s in range(0, t, chunk):
+                block = frames[s:s + chunk]
+                pad = chunk - block.shape[0]
+                if pad:
+                    block = np.concatenate(
+                        [block, np.zeros((pad, *block.shape[1:]), block.dtype)])
+                feats.append(np.asarray(call(jnp.asarray(block))))
+            feats = np.concatenate(feats)[:t].astype(store_dtype)
+            writer.add(feats, tokens, label, q_id)
+            n_frames += t
+            if (i + 1) % 50 == 0:
+                print(f"   {split}: {i + 1}/{loader.n} examples "
+                      f"({n_frames / (time.time() - t0):.0f} frames/s)")
     loader.close()
     print(f"=> Wrote {out} ({loader.n} examples, {n_frames} frames, "
           f"{os.path.getsize(out) / 1e6:.1f} MB, {time.time() - t0:.1f}s)")

@@ -156,6 +156,25 @@ class RecordWriter:
         os.remove(self._data_path)
         os.replace(tmp, self.out_file)
 
+    def abort(self):
+        """Remove partial outputs (crash/exception cleanup)."""
+        try:
+            self._data_f.close()
+        finally:
+            for p in (self._data_path, self.out_file + ".tmp"):
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+        return False
+
 
 def pack_dataset(base_dir, out_file, example_ids=None, *, compress="zstd"):
     """Pack (a split of) a dataset directory into a .vnr file.
