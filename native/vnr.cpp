@@ -41,6 +41,10 @@
 #include <thread>
 #include <vector>
 
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <zlib.h>
 #include <zstd.h>
 
@@ -63,10 +67,18 @@ struct ExampleIndex {
 
 struct VnrFile {
   FILE* f = nullptr;
-  std::vector<uint8_t> data;  // whole data section, resident
+  // Data section access: mmap'd by default so feature caches / datasets far
+  // larger than RAM stream through the OS page cache (a full-dataset bf16
+  // feature cache is TB-scale); falls back to a resident read if mmap fails.
+  uint8_t* map = nullptr;  // whole-file mapping (MAP_SHARED, PROT_READ)
+  size_t map_len = 0;
+  std::vector<uint8_t> resident;  // fallback: data section in RAM
   uint64_t data_start = 0;
   uint16_t H = 0, W = 0, C = 0, codec = 0, code = 0;
   std::vector<ExampleIndex> index;
+  const uint8_t* data() const {
+    return map ? map + data_start : resident.data();
+  }
   size_t elem() const { return code == 2 ? 2 : 1; }
   size_t frame_bytes() const {
     return static_cast<size_t>(H) * W * C * elem();
@@ -151,9 +163,22 @@ void* vnr_open(const char* path) {
   vf->data_start = static_cast<uint64_t>(ftell(f));
   fseek(f, 0, SEEK_END);
   uint64_t end = static_cast<uint64_t>(ftell(f));
-  vf->data.resize(end - vf->data_start);
+
+  struct stat st;
+  if (fstat(fileno(f), &st) == 0 && st.st_size > 0) {
+    void* m = mmap(nullptr, static_cast<size_t>(st.st_size), PROT_READ,
+                   MAP_SHARED, fileno(f), 0);
+    if (m != MAP_FAILED) {
+      vf->map = static_cast<uint8_t*>(m);
+      vf->map_len = static_cast<size_t>(st.st_size);
+      return vf;
+    }
+  }
+  // fallback: resident read of the data section
+  vf->resident.resize(end - vf->data_start);
   fseek(f, static_cast<long>(vf->data_start), SEEK_SET);
-  if (fread(vf->data.data(), 1, vf->data.size(), f) != vf->data.size()) {
+  if (fread(vf->resident.data(), 1, vf->resident.size(), f) !=
+      vf->resident.size()) {
     fclose(f);
     delete vf;
     return nullptr;
@@ -187,7 +212,7 @@ int vnr_example_full(void* handle, int32_t idx, uint8_t* out, int max_frames) {
   if (n > max_frames) n = max_frames;
   uint64_t off = e.offset;
   for (int i = 0; i < n; ++i) {
-    if (!decode_frame(vf, vf->data.data() + off, e.frame_bytes[i],
+    if (!decode_frame(vf, vf->data() + off, e.frame_bytes[i],
                       out + static_cast<size_t>(i) * fb))
       return -1;
     off += e.frame_bytes[i];
@@ -246,7 +271,7 @@ int vnr_batch(void* handle, const int32_t* indices, int n, int t_cap,
       for (int i = 0; i < total && count < t_cap; i += kDropEvery) {
         int hi = (i + kDropEvery < total ? i + kDropEvery : total) - 1;
         int keep = rng.uniform(i, hi);
-        const uint8_t* src = vf->data.data() + frame_off[keep];
+        const uint8_t* src = vf->data() + frame_off[keep];
         uint8_t* dst = vid_out + static_cast<size_t>(count) * frame_px;
         if (!decode_frame(vf, src, e.frame_bytes[keep], dst)) {
           status.store(3);
@@ -293,6 +318,7 @@ int64_t vnr_zstd_bound(int64_t src_len) {
 
 void vnr_close(void* handle) {
   auto* vf = static_cast<VnrFile*>(handle);
+  if (vf->map) munmap(vf->map, vf->map_len);
   if (vf->f) fclose(vf->f);
   delete vf;
 }
