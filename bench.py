@@ -250,10 +250,18 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
     buckets = (12, 20, 28, 35)  # same trim targets as the device bench
     loader = VNRBatchLoader(vnr_path, B, shuffle=True, bucket_by_length=True,
                             frame_buckets=buckets, seed=0)
-    train_step = make_train_step(
-        spec, cfg, optimizer, reduction="sum", clip_value=1.0,
-        elementwise_clamp=1.0 if args.model == "mac" else None,
-        stem_fn=stem_fn)
+    if args.mode == "eval":  # serving pipeline: forward only, no updates
+        from videonavqa_tpu.train.step import make_eval_step
+
+        eval_step = make_eval_step(spec, cfg, reduction="sum", stem_fn=stem_fn)
+
+        def train_step(params, state, opt_state, batch, sub):
+            return params, state, opt_state, eval_step(params, state, batch, sub)
+    else:
+        train_step = make_train_step(
+            spec, cfg, optimizer, reduction="sum", clip_value=1.0,
+            elementwise_clamp=1.0 if args.model == "mac" else None,
+            stem_fn=stem_fn)
 
     def prepare(np_batch):
         np_batch.pop("q_id", None)
