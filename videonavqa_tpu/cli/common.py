@@ -60,6 +60,14 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="re-randomize frame subsampling at val/test time "
                              "like the reference (eval/dataset.py:80-89; "
                              "nondeterministic metrics — see PARITY.md #13)")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="shard training/eval over an N-device "
+                             "('data','model') mesh (GSPMD data parallelism; "
+                             "0 = single device). The global batch_size must "
+                             "divide by the 'data' axis; see PARALLEL.md")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="'model'-axis size within --mesh_devices (shards "
+                             "the widest projections; parallel/mesh.py)")
     return parser
 
 
@@ -138,7 +146,7 @@ def cfg_from_args(args, model_name):
     )
 
 
-def load_stem(args, paths: DataPaths, calibration_video=None):
+def load_stem(args, paths: DataPaths, calibration_video=None, mesh=None):
     """Frozen stem params: imported from vgg16_caffe.pth / obj_detect.pt when
     available, else a seeded random init (synthetic-data runs).
 
@@ -160,6 +168,15 @@ def load_stem(args, paths: DataPaths, calibration_video=None):
     else:
         print("=> No obj_detect.pt found - using random object detector")
         det_params, det_state = init_obj_detector(key)
+
+    if mesh is not None:
+        # the stem is closed over by the jitted step as a constant — under a
+        # mesh its arrays must be mesh-placed (replicated), not single-device
+        from videonavqa_tpu.parallel import replicate
+
+        vgg_params = replicate(vgg_params, mesh)
+        det_params = replicate(det_params, mesh)
+        det_state = replicate(det_state, mesh)
 
     if getattr(args, "int8_stem", False) and calibration_video is not None:
         from videonavqa_tpu.stem.quant import (
@@ -195,15 +212,23 @@ def mac_lr_for_epoch(l_rate: float, epoch: int) -> float:
     return l_rate / 10.0 if epoch == 1 else l_rate
 
 
-def prepare_batch(batch):
+def prepare_batch(batch, mesh=None):
     """numpy -> device (videos stay uint8: 4x less transfer, the /255
     normalization runs in-graph via ops.video.normalize_video); attach a
-    validity mask excluding test-mode padding rows from the loss."""
+    validity mask excluding test-mode padding rows from the loss. With a
+    mesh, every leaf shards its batch dim over 'data' (GSPMD DP)."""
     num_valid = int(batch.pop("num_valid"))
-    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "q_id"}
+    batch = {k: v for k, v in batch.items() if k != "q_id"}
     B = batch["label"].shape[0]
     if num_valid < B:
-        batch["valid"] = jnp.arange(B) < num_valid
+        batch["valid"] = np.arange(B) < num_valid
+    if mesh is not None:
+        from videonavqa_tpu.parallel import batch_sharding
+
+        spec = batch_sharding(mesh)
+        batch = {k: jax.device_put(v, spec(v)) for k, v in batch.items()}
+    else:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
     return batch, num_valid
 
 
@@ -231,11 +256,27 @@ class Harness:
         labels = load_json(self.paths.labels_file)
         self.split, self.labels = split, labels
 
+        # GSPMD mesh (PARALLEL.md): 0 devices = the reference's single-device
+        # behavior; N shards batches over 'data' and (optionally) the widest
+        # projections over 'model'.
+        self.mesh = None
+        n_mesh = getattr(args, "mesh_devices", 0) or 0
+        if n_mesh:
+            from videonavqa_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(n_mesh,
+                                  model_parallel=getattr(args, "model_parallel", 1))
+            data_size = self.mesh.shape["data"]
+            if args.batch_size % data_size:
+                raise SystemExit(
+                    f"--batch_size {args.batch_size} must divide by the "
+                    f"'data' mesh axis ({data_size})")
+
         self.stem_fn = None
         self.needs_stem = (self.spec.uses_stem if use_stem is None else use_stem) \
             and getattr(args, "use_visual_features", True)
         if self.needs_stem and not getattr(args, "int8_stem", False):
-            self.stem_fn = load_stem(args, self.paths)
+            self.stem_fn = load_stem(args, self.paths, mesh=self.mesh)
         # int8 stems are built lazily once a calibration batch is available
         # (see run_training / run_test)
 
@@ -257,6 +298,25 @@ class Harness:
         key = jax.random.PRNGKey(self.args.seed)
         return self.spec.init(key, self.cfg)
 
+    def shard_model(self, params, state, opt_state=None):
+        """Place the train state on the mesh (no-op single-device): params
+        replicate (or shard their widest projections over 'model'), BN state
+        replicates, Adam mu/nu follow the params (PARALLEL.md)."""
+        if self.mesh is None:
+            return params, state, opt_state
+        from videonavqa_tpu.parallel import (
+            opt_state_shardings, param_shardings, replicate,
+        )
+
+        p_shard = param_shardings(params, self.mesh)
+        params = jax.device_put(params, p_shard)
+        state = replicate(state, self.mesh)
+        if opt_state is not None:
+            opt_state = jax.device_put(
+                opt_state,
+                opt_state_shardings(opt_state, params, p_shard, self.mesh))
+        return params, state, opt_state
+
     def run_epoch(self, step_fn, params, state, opt_state, loader, epoch, *,
                   train, rng):
         from videonavqa_tpu.data.prefetch import device_prefetch, host_prefetch
@@ -267,7 +327,7 @@ class Harness:
 
         def prepare(np_batch):
             labels_np = np_batch["label"]
-            batch, num_valid = prepare_batch(np_batch)
+            batch, num_valid = prepare_batch(np_batch, mesh=self.mesh)
             return batch, num_valid, labels_np
 
         pending = None  # metrics fetched one step late so device work pipelines
@@ -387,7 +447,7 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     if h.needs_stem and h.stem_fn is None:  # int8: calibrate on one batch
         first = next(iter(train_loader.epoch(0)))
         calib = jnp.asarray(first["video"]).astype(jnp.float32) / 255.0
-        h.stem_fn = load_stem(args, h.paths, calibration_video=calib)
+        h.stem_fn = load_stem(args, h.paths, calibration_video=calib, mesh=h.mesh)
 
     params, state = h.init_model()
     optimizer = make_optimizer(args.l_rate)
@@ -406,6 +466,7 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     elif args.checkpoint_path:
         print("=> No checkpoint existent - will save the model here")
 
+    params, state, opt_state = h.shard_model(params, state, opt_state)
     train_step = make_train_step(
         h.spec, h.cfg, optimizer, class_weights=h.class_weights,
         reduction=h.reduction, clip_value=clip_value,
@@ -486,11 +547,12 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
     state = state_r if state_r is not None else state
     if "val_acc" in meta:
         print("=> Restored checkpoint with val acc %s" % meta["val_acc"])
+    params, state, _ = h.shard_model(params, state)
 
     if h.needs_stem and h.stem_fn is None:  # int8: calibrate on one batch
         first = next(iter(loader.epoch(0)))
         calib = jnp.asarray(first["video"]).astype(jnp.float32) / 255.0
-        h.stem_fn = load_stem(args, h.paths, calibration_video=calib)
+        h.stem_fn = load_stem(args, h.paths, calibration_video=calib, mesh=h.mesh)
 
     eval_step = make_eval_step(h.spec, h.cfg, class_weights=h.class_weights,
                                reduction=h.reduction, stem_fn=h.stem_fn)
