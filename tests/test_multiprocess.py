@@ -80,3 +80,48 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(results[0][0], loss, rtol=1e-5)
     np.testing.assert_allclose(results[0][1], gn, rtol=1e-4)
     np.testing.assert_allclose(results[0][2], leafsum, rtol=1e-4, atol=1e-5)
+
+
+CLI_WORKER = os.path.join(REPO, "tests", "_mp_cli_worker.py")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_two_process_cli_training_matches_single_process(tmp_path):
+    """The user-facing harness under jax.distributed: 2 processes x 4 CPU
+    devices run run_training (--distributed --mesh_devices 8, feature-cache
+    row_slice loaders), must agree with each other AND with a single-process
+    run of the same config."""
+    from videonavqa_tpu.data.synthetic import generate_synthetic_dataset
+
+    base = str(tmp_path / "mpcli")
+    generate_synthetic_dataset(base, num_houses=3, trajs_per_house=8, seed=11,
+                               video_format="npy", max_frames=8)
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, CLI_WORKER, str(pid), str(port), base],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=REPO)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=820)[0] for p in procs]
+    sums = []
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        m = re.search(r"CLIMP pid=\d+ leafsum=(-?[\d.]+)", out)
+        assert m, f"no result line from worker {pid}:\n{out[-3000:]}"
+        sums.append(float(m.group(1)))
+    assert sums[0] == sums[1], sums  # identical replicated params on both hosts
+
+    # single-process reference run of the same config on the same dataset
+    from videonavqa_tpu.cli.common import build_q_and_v_parser, run_training
+
+    args = build_q_and_v_parser().parse_args([
+        "--data_dir", base, "--model", "film_gp_pt", "--batch_size", "8",
+        "--num_res_blocks", "1", "--num_res_block_channels", "16",
+        "--num_tail_channels", "4", "--embed_size", "8", "--hidden_size", "8",
+        "--num_epochs", "1", "--compute_dtype", "float32",
+        "--feature_cache", "true",
+    ])
+    params, _ = run_training(args, "film_gp_pt")
+    ref = sum(float(np.asarray(l).sum()) for l in jax.tree.leaves(params))
+    np.testing.assert_allclose(sums[0], ref, atol=5e-3)

@@ -92,6 +92,34 @@ def test_thread_count_invariance(packed):
             np.testing.assert_array_equal(batches[1][k], batches[nt][k])
 
 
+def test_row_slice_matches_full_batch(packed):
+    """Multi-host feeding: per-host row_slice loaders must reproduce exactly
+    the rows of the full-batch loader (same global order/t_cap/subsample)."""
+    _, out, ids = packed
+    B = len(ids)
+    per = B // 2
+    full = VNRBatchLoader(out, batch_size=B, shuffle=False, seed=4)
+    parts = [VNRBatchLoader(out, batch_size=B, shuffle=False, seed=4,
+                            row_slice=(i * per, per)) for i in range(2)]
+    fb = next(iter(full.epoch(3)))
+    pbs = [next(iter(p.epoch(3))) for p in parts]
+    for k in ("video", "question", "v_len", "q_len", "label", "q_id"):
+        got = np.concatenate([pb[k] for pb in pbs])
+        np.testing.assert_array_equal(got, fb[k][: 2 * per])
+    # test-mode: global padding rows land in the right host slice
+    tfull = VNRBatchLoader(out, batch_size=B + 2, shuffle=False, mode="test")
+    tparts = [VNRBatchLoader(out, batch_size=B + 2, shuffle=False, mode="test",
+                             row_slice=(i * ((B + 2) // 2), (B + 2) // 2))
+              for i in range(2)]
+    gb = list(tfull.epoch(0))[-1]
+    lbs = [list(p.epoch(0))[-1] for p in tparts]
+    assert sum(int(b["num_valid"]) for b in lbs) == int(gb["num_valid"])
+    got = np.concatenate([b["video"] for b in lbs])
+    np.testing.assert_array_equal(got, gb["video"])
+    for loader in [full, tfull] + parts + tparts:
+        loader.close()
+
+
 def test_bucketed_trimming_and_test_padding(packed):
     _, out, ids = packed
     loader = VNRBatchLoader(out, batch_size=2, shuffle=True, seed=3,

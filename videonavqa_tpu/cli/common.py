@@ -68,6 +68,17 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="'model'-axis size within --mesh_devices (shards "
                              "the widest projections; parallel/mesh.py)")
+    parser.add_argument("--distributed", type=lambda s: s.lower() == "true",
+                        default=False,
+                        help="multi-host: jax.distributed.initialize before "
+                             "device use; --mesh_devices then counts GLOBAL "
+                             "devices and each host's loader decodes only its "
+                             "batch slice (parallel/multihost.py)")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (auto-detected on TPU "
+                             "pods when omitted)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser
 
 
@@ -212,14 +223,73 @@ def mac_lr_for_epoch(l_rate: float, epoch: int) -> float:
     return l_rate / 10.0 if epoch == 1 else l_rate
 
 
+def _await_artifacts(paths, timeout=3600):
+    """Multi-host 'barrier' for one-time disk artifacts written by process 0:
+    the other hosts poll for the files on the shared filesystem (which the
+    dataset requires anyway). A device-collective barrier would be wrong
+    here — Gloo/ICI handshakes time out (~30 s) while process 0 spends
+    minutes packing/extracting without participating. Writers are atomic
+    (os.replace), so existence == complete."""
+    if jax.process_index() == 0:
+        return
+    t0 = time.time()
+    for p in paths:
+        while not os.path.exists(p):
+            if time.time() - t0 > timeout:
+                raise TimeoutError(f"waiting for process 0 to write {p}")
+            time.sleep(1.0)
+
+
+def _extract_features_once(args, h, splits):
+    """Feature-cache files, extracted by process 0 only (others wait)."""
+    from videonavqa_tpu.cli.extract_features import ensure_features, feature_file
+
+    if jax.process_index() == 0:
+        # extraction must run process-local: a jit over the mesh-replicated
+        # stem would require every process's participation (SPMD)
+        stem_fn = h.stem_fn if jax.process_count() == 1 \
+            else load_stem(args, h.paths)
+        files = ensure_features(args, stem_fn, splits, h.split)
+    else:
+        dtype = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
+        files = {s: feature_file(args.data_dir, s, dtype) for s in splits}
+    _await_artifacts(files.values())
+    return files
+
+
+def host_localize_batch(np_batch, global_batch_size):
+    """Slice a full global numpy batch down to this host's rows (python-
+    loader path under multi-host; the VNR loader instead decodes only its
+    rows natively via row_slice). num_valid becomes host-local."""
+    from videonavqa_tpu.parallel.multihost import host_batch_slice
+
+    start, per = host_batch_slice(global_batch_size)
+    g_valid = int(np_batch["num_valid"])
+    out = {k: (v[start:start + per]
+               if np.ndim(v) >= 1 and np.shape(v)[0] == global_batch_size else v)
+           for k, v in np_batch.items() if k != "num_valid"}
+    out["num_valid"] = np.int32(np.clip(g_valid - start, 0, per))
+    return out
+
+
 def prepare_batch(batch, mesh=None):
     """numpy -> device (videos stay uint8: 4x less transfer, the /255
     normalization runs in-graph via ops.video.normalize_video); attach a
     validity mask excluding test-mode padding rows from the loss. With a
-    mesh, every leaf shards its batch dim over 'data' (GSPMD DP)."""
+    mesh, every leaf shards its batch dim over 'data' (GSPMD DP); with
+    multiple processes, the batch rows are host-local and the global array is
+    assembled from each host's shard."""
     num_valid = int(batch.pop("num_valid"))
     batch = {k: v for k, v in batch.items() if k != "q_id"}
     B = batch["label"].shape[0]
+    if mesh is not None and jax.process_count() > 1:
+        from videonavqa_tpu.parallel.multihost import global_batch_from_host_shards
+
+        # always include the mask: the jit signature (pytree structure) must
+        # match across hosts even when only one host holds padding rows
+        batch["valid"] = np.arange(B) < num_valid
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        return global_batch_from_host_shards(mesh, batch), num_valid
     if num_valid < B:
         batch["valid"] = np.arange(B) < num_valid
     if mesh is not None:
@@ -259,18 +329,39 @@ class Harness:
         # GSPMD mesh (PARALLEL.md): 0 devices = the reference's single-device
         # behavior; N shards batches over 'data' and (optionally) the widest
         # projections over 'model'.
+        if getattr(args, "distributed", False):
+            from videonavqa_tpu.parallel import multihost
+
+            multihost.initialize(getattr(args, "coordinator_address", None),
+                                 getattr(args, "num_processes", None),
+                                 getattr(args, "process_id", None))
         self.mesh = None
         n_mesh = getattr(args, "mesh_devices", 0) or 0
         if n_mesh:
             from videonavqa_tpu.parallel import make_mesh
 
-            self.mesh = make_mesh(n_mesh,
-                                  model_parallel=getattr(args, "model_parallel", 1))
+            mp = getattr(args, "model_parallel", 1)
+            if jax.process_count() > 1 and mp > 1:
+                raise SystemExit(
+                    "multi-host model parallelism is unsupported in the CLI "
+                    "(checkpoints of cross-host-sharded params); use "
+                    "--model_parallel 1")
+            self.mesh = make_mesh(n_mesh, model_parallel=mp)
             data_size = self.mesh.shape["data"]
             if args.batch_size % data_size:
                 raise SystemExit(
                     f"--batch_size {args.batch_size} must divide by the "
                     f"'data' mesh axis ({data_size})")
+            if args.batch_size % max(jax.process_count(), 1):
+                raise SystemExit(
+                    f"--batch_size {args.batch_size} must divide by the "
+                    f"process count ({jax.process_count()})")
+        # multi-host: each host's loader decodes only its slice of the batch
+        self.row_slice = None
+        if self.mesh is not None and jax.process_count() > 1:
+            from videonavqa_tpu.parallel.multihost import host_batch_slice
+
+            self.row_slice = host_batch_slice(args.batch_size)
 
         self.stem_fn = None
         self.needs_stem = (self.spec.uses_stem if use_stem is None else use_stem) \
@@ -308,6 +399,15 @@ class Harness:
             opt_state_shardings, param_shardings, replicate,
         )
 
+        if jax.process_count() > 1:
+            # multi-controller: every process holds identical host values
+            # (same seed / same checkpoint file); replicate from local copies
+            params = replicate(params, self.mesh)
+            state = replicate(state, self.mesh)
+            if opt_state is not None:
+                opt_state = replicate(opt_state, self.mesh)
+            return params, state, opt_state
+
         p_shard = param_shardings(params, self.mesh)
         params = jax.device_put(params, p_shard)
         state = replicate(state, self.mesh)
@@ -325,17 +425,31 @@ class Harness:
         total_loss, hit, num_examples = 0.0, 0, 0
         y_pred, y_target = [], []
 
+        multihost = self.mesh is not None and jax.process_count() > 1
+
         def prepare(np_batch):
+            if multihost and np.shape(np_batch["label"])[0] == self.args.batch_size:
+                # python-loader path: full global batch -> this host's rows
+                # (the VNR loaders already decode only their row_slice)
+                np_batch = host_localize_batch(np_batch, self.args.batch_size)
             labels_np = np_batch["label"]
             batch, num_valid = prepare_batch(np_batch, mesh=self.mesh)
             return batch, num_valid, labels_np
 
         pending = None  # metrics fetched one step late so device work pipelines
 
+        def _np_local(arr):
+            """Host-local rows of a (possibly cross-host-sharded) array."""
+            if getattr(arr, "is_fully_addressable", True):
+                return np.asarray(arr)
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards])
+
         def drain(pending):
             nonlocal total_loss, hit, num_examples
             metrics, num_valid, labels_np = pending
-            preds = np.asarray(metrics["preds"])[:num_valid]
+            preds = _np_local(metrics["preds"])[:num_valid]
             total_loss += float(metrics["loss"])
             hit += int(np.sum(preds == labels_np[:num_valid]))
             num_examples += num_valid
@@ -364,6 +478,24 @@ class Harness:
 
         y_pred = np.concatenate(y_pred) if y_pred else np.array([])
         y_target = np.concatenate(y_target) if y_target else np.array([])
+        if multihost:
+            # global metrics: gather every host's (ragged) predictions. The
+            # per-batch loss is already global (GSPMD sum over the full
+            # batch); hits/examples/F1 need the union of host-local rows.
+            from jax.experimental import multihost_utils as mhu
+
+            n_local = np.int64(len(y_pred))
+            max_n = int(np.max(np.asarray(mhu.process_allgather(n_local))))
+
+            def _gather(a):
+                pad = np.full(max_n, -1, np.int64)
+                pad[:len(a)] = a
+                g = np.asarray(mhu.process_allgather(pad)).reshape(-1)
+                return g[g >= 0]
+
+            y_pred, y_target = _gather(y_pred), _gather(y_target)
+            hit = int(np.sum(y_pred == y_target))
+            num_examples = int(len(y_pred))
         f1_w = M.f1_score(y_target, y_pred, average="weighted")
         f1_micro = M.f1_score(y_target, y_pred, average="micro")
         summary = {
@@ -411,10 +543,11 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built
 
         ensure_built()
-        files = ensure_features(args, h.stem_fn, ("train", "val"), h.split)
+        files = _extract_features_once(args, h, ("train", "val"))
         h.stem_fn, h.needs_stem = None, False
         vnr_kw = dict(seed=args.seed, bucket_by_length=bucket,
-                      frame_buckets=True if bucket else None)
+                      frame_buckets=True if bucket else None,
+                      row_slice=h.row_slice)
         train_loader = VNRBatchLoader(files["train"], args.batch_size,
                                       shuffle=True, mode="train", **vnr_kw)
         val_loader = VNRBatchLoader(files["val"], args.batch_size,
@@ -425,14 +558,16 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
 
         ensure_built()
         vnr_kw = dict(seed=args.seed, bucket_by_length=bucket,
-                      frame_buckets=True if bucket else None)
+                      frame_buckets=True if bucket else None,
+                      row_slice=h.row_slice)
         loaders = {}
         stochastic = getattr(args, "stochastic_eval", False)
         for part, det in (("train", False), ("val", not stochastic)):
             path = os.path.join(args.data_dir, f"{part}.vnr")
-            if not os.path.exists(path):
+            if not os.path.exists(path) and jax.process_index() == 0:
                 print(f"=> Packing {part} split into {path}")
                 pack_dataset(args.data_dir, path, h.split[part])
+            _await_artifacts([path])
             loaders[part] = VNRBatchLoader(
                 path, args.batch_size, shuffle=(part == "train"),
                 mode=part, deterministic=det, **vnr_kw)
@@ -491,7 +626,9 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
                   "F1: w{:.4f}, micro{:.4f}\t({:.2f} ex/s)\n".format(
                       epoch, summary["loss"], summary["hit"], summary["num_examples"],
                       summary["f1_w"], summary["f1_micro"], summary["examples_per_sec"]))
-            if args.checkpoint_path:
+            if args.checkpoint_path and jax.process_index() == 0:
+                # multi-host: params replicate, so process 0's copy is the
+                # global checkpoint (model_parallel>1 is guarded off)
                 ckpt.save_checkpoint_async(
                     ckpt.epoch_path(args.checkpoint_path, epoch),
                     params=params, state=state, opt_state=opt_state,
@@ -513,28 +650,28 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
         if getattr(args, "int8_stem", False):
             raise SystemExit("--feature_cache and --int8_stem are mutually "
                              "exclusive (the cache is extracted with the bf16 stem)")
-        from videonavqa_tpu.cli.extract_features import ensure_features
         from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built
 
         ensure_built()
-        files = ensure_features(args, h.stem_fn, ("test",), h.split)
+        files = _extract_features_once(args, h, ("test",))
         h.stem_fn, h.needs_stem = None, False
         loader = VNRBatchLoader(
             files["test"], args.batch_size, shuffle=False, mode="test",
             deterministic=not getattr(args, "stochastic_eval", False),
-            seed=args.seed)
+            seed=args.seed, row_slice=h.row_slice)
     elif getattr(args, "use_vnr", False) and not q_only:
         from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built, pack_dataset
 
         ensure_built()
         path = os.path.join(args.data_dir, "test.vnr")
-        if not os.path.exists(path):
+        if not os.path.exists(path) and jax.process_index() == 0:
             print(f"=> Packing test split into {path}")
             pack_dataset(args.data_dir, path, h.split["test"])
+        _await_artifacts([path])
         loader = VNRBatchLoader(
             path, args.batch_size, shuffle=False, mode="test",
             deterministic=not getattr(args, "stochastic_eval", False),
-            seed=args.seed)
+            seed=args.seed, row_slice=h.row_slice)
     else:
         loader = BatchLoader(test_ds, args.batch_size, shuffle=False, mode="test",
                              num_workers=args.num_workers, seed=args.seed)
@@ -557,15 +694,24 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
     eval_step = make_eval_step(h.spec, h.cfg, class_weights=h.class_weights,
                                reduction=h.reduction, stem_fn=h.stem_fn)
     rng = jax.random.PRNGKey(args.seed + 2)
+    multihost = h.mesh is not None and jax.process_count() > 1
     y_pred, y_target, qs = [], [], []
     total_loss, hit, num_examples = 0.0, 0, 0
     for np_batch in loader.epoch(0):
+        if multihost and np.shape(np_batch["label"])[0] == args.batch_size:
+            np_batch = host_localize_batch(np_batch, args.batch_size)
         labels_np = np_batch["label"]
         q_id = np_batch.get("q_id")
-        batch, num_valid = prepare_batch(np_batch)
+        batch, num_valid = prepare_batch(np_batch, mesh=h.mesh)
         rng, sub = jax.random.split(rng)
         metrics = eval_step(params, state, batch, sub)
-        preds = np.asarray(metrics["preds"])[:num_valid]
+        preds_full = metrics["preds"]
+        if getattr(preds_full, "is_fully_addressable", True):
+            preds = np.asarray(preds_full)[:num_valid]
+        else:
+            shards = sorted(preds_full.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            preds = np.concatenate([np.asarray(s.data) for s in shards])[:num_valid]
         total_loss += float(metrics["loss"])
         hit += int(np.sum(preds == labels_np[:num_valid]))
         # real rows only, as the reference does (q_and_v_test.py:77 counts
@@ -576,8 +722,25 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
         if q_id is not None:
             qs.append(q_id[:num_valid])
 
-    y_pred, y_target = np.concatenate(y_pred), np.concatenate(y_target)
+    y_pred = np.concatenate(y_pred) if y_pred else np.array([], np.int64)
+    y_target = np.concatenate(y_target) if y_target else np.array([], np.int64)
     qs = np.concatenate(qs) if qs else np.array([])
+    if multihost:  # gather every host's rows for global metrics and dumps
+        from jax.experimental import multihost_utils as mhu
+
+        n_local = np.int64(len(y_pred))
+        max_n = int(np.max(np.asarray(mhu.process_allgather(n_local))))
+
+        def _gather(a):
+            pad = np.full(max_n, -1, np.int64)
+            pad[:len(a)] = a
+            g = np.asarray(mhu.process_allgather(pad)).reshape(-1)
+            return g[g >= 0]
+
+        y_pred, y_target = _gather(y_pred), _gather(y_target)
+        if len(qs):
+            qs = _gather(qs.astype(np.int64))
+        hit, num_examples = int(np.sum(y_pred == y_target)), int(len(y_pred))
     summary = {"loss": total_loss / max(num_examples, 1), "hit": hit,
                "num_examples": num_examples,
                "f1_w": M.f1_score(y_target, y_pred, average="weighted"),
@@ -585,9 +748,10 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
                "y_pred": y_pred, "y_target": y_target}
     h.print_val_summary(summary, header="Testing")
 
-    base = os.path.basename(args.checkpoint_path)
-    out_dir = os.path.dirname(args.checkpoint_path) or "."
-    np.save(os.path.join(out_dir, "t_" + base), y_target)
-    np.save(os.path.join(out_dir, "p_" + base), y_pred)
-    np.save(os.path.join(out_dir, "q_" + base), qs)
+    if jax.process_index() == 0:
+        base = os.path.basename(args.checkpoint_path)
+        out_dir = os.path.dirname(args.checkpoint_path) or "."
+        np.save(os.path.join(out_dir, "t_" + base), y_target)
+        np.save(os.path.join(out_dir, "p_" + base), y_pred)
+        np.save(os.path.join(out_dir, "q_" + base), qs)
     return summary

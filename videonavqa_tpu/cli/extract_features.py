@@ -64,11 +64,16 @@ def extract_split(args, stem_fn, split: str, ids) -> str:
     if not os.path.exists(src):
         print(f"=> Packing {split} split into {src}")
         pack_dataset(args.data_dir, src, ids)
-    chunk = getattr(args, "chunk", 128)
     payload = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
     store_dtype = {"bfloat16": ml_dtypes.bfloat16,
                    "float8_e4m3": ml_dtypes.float8_e4m3fn}[payload]
     loader = VNRBatchLoader(src, 1, shuffle=False, mode="test")
+    # adapt the fixed chunk shape to the split's actual max raw length so
+    # short-video datasets don't pad every stem call up to 128 frames
+    # (loader lengths are the subsampled ceil(t/4), so 4*max bounds raw t)
+    max_raw = min(int(loader._lengths.max(initial=1)) * C.DROP_EVERY_N_FRAMES,
+                  C.DROP_EVERY_N_FRAMES * C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
+    chunk = min(getattr(args, "chunk", 128), max(8, -(-max_raw // 8) * 8))
     out = feature_file(args.data_dir, split, payload)
     writer = RecordWriter(out, FEATURE_SHAPE, payload=payload,
                           compress=getattr(args, "compress", "zstd"))

@@ -214,7 +214,12 @@ class VNRBatchLoader:
 
     def __init__(self, path, batch_size, *, shuffle=True, mode="train",
                  num_threads=0, seed=0, bucket_by_length=False,
-                 frame_buckets=None, deterministic=False):
+                 frame_buckets=None, deterministic=False, row_slice=None):
+        """``row_slice=(start, size)``: multi-host feeding — every host
+        computes the identical global batch composition (same seed/order/
+        t_cap), but this loader decodes ONLY rows [start, start+size) of each
+        batch (parallel/multihost.host_batch_slice). num_valid in yielded
+        batches is then host-local."""
         from videonavqa_tpu.data.pipeline import BatchLoader
 
         self._lib = _load_lib()
@@ -237,6 +242,7 @@ class VNRBatchLoader:
         self.num_threads = num_threads
         self.seed = seed
         self.deterministic = deterministic
+        self.row_slice = row_slice
         self.bucket_by_length = bucket_by_length
         self.frame_buckets = (BatchLoader.DEFAULT_FRAME_BUCKETS
                               if frame_buckets is True else frame_buckets)
@@ -293,10 +299,18 @@ class VNRBatchLoader:
         return q[0, :q_len[0]].astype(np.int64), int(label[0]), int(q_id[0])
 
     def _load(self, idxs, t_cap, epoch):
-        B = self.batch_size
-        n_valid = len(idxs)
+        if self.row_slice is not None:
+            # decode only this host's rows; global t_cap/order already fixed
+            start, size = self.row_slice
+            n_valid_global = len(idxs)
+            idxs = idxs[start:start + size]
+            B = size
+            n_valid = int(np.clip(n_valid_global - start, 0, size))
+        else:
+            B = self.batch_size
+            n_valid = len(idxs)
         idx_arr = np.full(B, 0, dtype=np.int32)
-        idx_arr[:n_valid] = idxs
+        idx_arr[:len(idxs)] = idxs
         video = np.empty((B, t_cap, *self.frame_shape), dtype=self.frame_dtype)
         v_len = np.empty(B, dtype=np.int32)
         q = np.empty((B, C.MAX_Q_LEN), dtype=np.int32)

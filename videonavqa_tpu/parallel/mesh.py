@@ -62,7 +62,15 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree on the mesh. Multi-controller meshes span
+    non-addressable devices, where device_put is unsupported — there every
+    process must hold the identical host value (same PRNGKey init / same
+    checkpoint file) and the array is assembled from the local copies."""
     s = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree)
     return jax.device_put(tree, jax.tree.map(lambda _: s, tree))
 
 
