@@ -76,6 +76,10 @@ def main(argv=None):
     parser.add_argument("--e2e_epochs", type=int, default=3,
                         help="timed epochs for --e2e (after one warmup epoch)")
     args = parser.parse_args(argv)
+    if args.feature_cache and args.int8_stem:
+        parser.error("--feature_cache and --int8_stem are mutually exclusive "
+                     "(an int8-derived cache would silently contaminate "
+                     "later bf16 runs reusing the same cache file)")
 
     cfg = ModelConfig(model=args.model, num_res_blocks=args.num_res_blocks,
                       num_res_block_channels=args.num_res_block_channels,

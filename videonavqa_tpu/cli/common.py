@@ -223,6 +223,33 @@ def mac_lr_for_epoch(l_rate: float, epoch: int) -> float:
     return l_rate / 10.0 if epoch == 1 else l_rate
 
 
+def _np_local_rows(arr):
+    """Host-local rows of a (possibly cross-host batch-sharded) array."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def _gather_across_hosts(*arrays):
+    """Concatenate every host's (ragged) 1-D int arrays in process order.
+    Pads with a -1 sentinel to a common length for process_allgather; values
+    must be >= 0 (labels/predictions/q_ids are)."""
+    from jax.experimental import multihost_utils as mhu
+
+    n_local = np.int64(len(arrays[0]))
+    max_n = int(np.max(np.asarray(mhu.process_allgather(n_local))))
+
+    def one(a):
+        pad = np.full(max_n, -1, np.int64)
+        pad[:len(a)] = a
+        g = np.asarray(mhu.process_allgather(pad)).reshape(-1)
+        return g[g >= 0]
+
+    return tuple(one(np.asarray(a, np.int64)) for a in arrays)
+
+
 def _await_artifacts(paths, timeout=3600):
     """Multi-host 'barrier' for one-time disk artifacts written by process 0:
     the other hosts poll for the files on the shared filesystem (which the
@@ -244,14 +271,16 @@ def _extract_features_once(args, h, splits):
     """Feature-cache files, extracted by process 0 only (others wait)."""
     from videonavqa_tpu.cli.extract_features import ensure_features, feature_file
 
+    dtype = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
     if jax.process_index() == 0:
-        # extraction must run process-local: a jit over the mesh-replicated
-        # stem would require every process's participation (SPMD)
-        stem_fn = h.stem_fn if jax.process_count() == 1 \
-            else load_stem(args, h.paths)
+        # load the stem only if something is actually missing, and load it
+        # process-local: a jit over the mesh-replicated stem would require
+        # every process's participation (SPMD)
+        missing = [s for s in splits
+                   if not os.path.exists(feature_file(args.data_dir, s, dtype))]
+        stem_fn = load_stem(args, h.paths) if missing else None
         files = ensure_features(args, stem_fn, splits, h.split)
     else:
-        dtype = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
         files = {s: feature_file(args.data_dir, s, dtype) for s in splits}
     _await_artifacts(files.values())
     return files
@@ -346,6 +375,10 @@ class Harness:
                     "multi-host model parallelism is unsupported in the CLI "
                     "(checkpoints of cross-host-sharded params); use "
                     "--model_parallel 1")
+            if jax.process_count() > 1 and getattr(args, "int8_stem", False):
+                raise SystemExit(
+                    "--int8_stem calibration is not supported multi-host; "
+                    "use the bf16 stem or --feature_cache")
             self.mesh = make_mesh(n_mesh, model_parallel=mp)
             data_size = self.mesh.shape["data"]
             if args.batch_size % data_size:
@@ -366,7 +399,12 @@ class Harness:
         self.stem_fn = None
         self.needs_stem = (self.spec.uses_stem if use_stem is None else use_stem) \
             and getattr(args, "use_visual_features", True)
-        if self.needs_stem and not getattr(args, "int8_stem", False):
+        # --feature_cache never runs the stem in-step; extraction (if any
+        # cache file is missing) loads its own process-local stem lazily
+        skip_for_cache = getattr(args, "feature_cache", False) \
+            and self.needs_stem and not q_only
+        if self.needs_stem and not getattr(args, "int8_stem", False) \
+                and not skip_for_cache:
             self.stem_fn = load_stem(args, self.paths, mesh=self.mesh)
         # int8 stems are built lazily once a calibration batch is available
         # (see run_training / run_test)
@@ -438,18 +476,10 @@ class Harness:
 
         pending = None  # metrics fetched one step late so device work pipelines
 
-        def _np_local(arr):
-            """Host-local rows of a (possibly cross-host-sharded) array."""
-            if getattr(arr, "is_fully_addressable", True):
-                return np.asarray(arr)
-            shards = sorted(arr.addressable_shards,
-                            key=lambda s: s.index[0].start or 0)
-            return np.concatenate([np.asarray(s.data) for s in shards])
-
         def drain(pending):
             nonlocal total_loss, hit, num_examples
             metrics, num_valid, labels_np = pending
-            preds = _np_local(metrics["preds"])[:num_valid]
+            preds = _np_local_rows(metrics["preds"])[:num_valid]
             total_loss += float(metrics["loss"])
             hit += int(np.sum(preds == labels_np[:num_valid]))
             num_examples += num_valid
@@ -469,10 +499,13 @@ class Harness:
                 drain(pending)
             pending = (metrics, num_valid, labels_np)
             if train and (i + 1) % self.args.stats_after_every == 0:
+                # metrics["loss"] is global (GSPMD over the full batch) while
+                # num_examples counts only this host's rows mid-epoch
+                denom = max(num_examples * (jax.process_count() if multihost else 1), 1)
                 print("Average loss after %d iterations in epoch %d: %.6f"
-                      % (i + 1, epoch + 1, total_loss / max(num_examples, 1)))
+                      % (i + 1, epoch + 1, total_loss / denom))
                 self.metrics.log("train_progress", epoch=epoch, iteration=i + 1,
-                                 avg_loss=total_loss / max(num_examples, 1))
+                                 avg_loss=total_loss / denom)
         if pending is not None:
             drain(pending)
 
@@ -482,18 +515,7 @@ class Harness:
             # global metrics: gather every host's (ragged) predictions. The
             # per-batch loss is already global (GSPMD sum over the full
             # batch); hits/examples/F1 need the union of host-local rows.
-            from jax.experimental import multihost_utils as mhu
-
-            n_local = np.int64(len(y_pred))
-            max_n = int(np.max(np.asarray(mhu.process_allgather(n_local))))
-
-            def _gather(a):
-                pad = np.full(max_n, -1, np.int64)
-                pad[:len(a)] = a
-                g = np.asarray(mhu.process_allgather(pad)).reshape(-1)
-                return g[g >= 0]
-
-            y_pred, y_target = _gather(y_pred), _gather(y_target)
+            y_pred, y_target = _gather_across_hosts(y_pred, y_target)
             hit = int(np.sum(y_pred == y_target))
             num_examples = int(len(y_pred))
         f1_w = M.f1_score(y_target, y_pred, average="weighted")
@@ -533,7 +555,7 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     bucket = getattr(args, "bucket_frames", False) and model_name != "v_only_cnn3d" \
         and not q_only
     stochastic = getattr(args, "stochastic_eval", False)
-    if getattr(args, "feature_cache", False) and h.spec.uses_stem and not q_only:
+    if getattr(args, "feature_cache", False) and h.needs_stem and not q_only:
         # Frozen-stem feature cache: extract once (cli.extract_features), then
         # train/eval the trunk only — the stem never runs again this process.
         if getattr(args, "int8_stem", False):
@@ -646,7 +668,7 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
     h = Harness(args, model_name, q_only=q_only, v_only=v_only)
     test_ds = h.dataset("test", q_metadata=True, deterministic=True)
     print("%d test examples" % len(test_ds))
-    if getattr(args, "feature_cache", False) and h.spec.uses_stem and not q_only:
+    if getattr(args, "feature_cache", False) and h.needs_stem and not q_only:
         if getattr(args, "int8_stem", False):
             raise SystemExit("--feature_cache and --int8_stem are mutually "
                              "exclusive (the cache is extracted with the bf16 stem)")
@@ -705,13 +727,7 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
         batch, num_valid = prepare_batch(np_batch, mesh=h.mesh)
         rng, sub = jax.random.split(rng)
         metrics = eval_step(params, state, batch, sub)
-        preds_full = metrics["preds"]
-        if getattr(preds_full, "is_fully_addressable", True):
-            preds = np.asarray(preds_full)[:num_valid]
-        else:
-            shards = sorted(preds_full.addressable_shards,
-                            key=lambda s: s.index[0].start or 0)
-            preds = np.concatenate([np.asarray(s.data) for s in shards])[:num_valid]
+        preds = _np_local_rows(metrics["preds"])[:num_valid]
         total_loss += float(metrics["loss"])
         hit += int(np.sum(preds == labels_np[:num_valid]))
         # real rows only, as the reference does (q_and_v_test.py:77 counts
@@ -726,20 +742,10 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
     y_target = np.concatenate(y_target) if y_target else np.array([], np.int64)
     qs = np.concatenate(qs) if qs else np.array([])
     if multihost:  # gather every host's rows for global metrics and dumps
-        from jax.experimental import multihost_utils as mhu
-
-        n_local = np.int64(len(y_pred))
-        max_n = int(np.max(np.asarray(mhu.process_allgather(n_local))))
-
-        def _gather(a):
-            pad = np.full(max_n, -1, np.int64)
-            pad[:len(a)] = a
-            g = np.asarray(mhu.process_allgather(pad)).reshape(-1)
-            return g[g >= 0]
-
-        y_pred, y_target = _gather(y_pred), _gather(y_target)
         if len(qs):
-            qs = _gather(qs.astype(np.int64))
+            y_pred, y_target, qs = _gather_across_hosts(y_pred, y_target, qs)
+        else:
+            y_pred, y_target = _gather_across_hosts(y_pred, y_target)
         hit, num_examples = int(np.sum(y_pred == y_target)), int(len(y_pred))
     summary = {"loss": total_loss / max(num_examples, 1), "hit": hit,
                "num_examples": num_examples,

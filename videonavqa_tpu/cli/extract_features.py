@@ -52,6 +52,9 @@ def make_stem_call(stem_fn, chunk: int, store_dtype):
 
     @jax.jit
     def call(frames_u8):
+        # the caller pads every block to exactly `chunk` frames — one
+        # compiled shape; a ragged block would silently recompile per length
+        assert frames_u8.shape[0] == chunk, frames_u8.shape
         video = normalize_video(frames_u8[None])  # [1, chunk, H, W, 3]
         return stem_fn(video)[0].astype(store_dtype)
 

@@ -188,14 +188,13 @@ def pack_dataset(base_dir, out_file, example_ids=None, *, compress="zstd"):
     q_ids = load_json(paths.q_ids_file) if os.path.exists(paths.q_ids_file) else {}
     ids = sorted(example_ids if example_ids is not None else labels)
 
-    w = RecordWriter(out_file, (C.VID_HEIGHT, C.VID_WIDTH, 3),
-                     payload="u8", compress=compress)
-    for ex_id in ids:
-        video = _decode_video(os.path.join(paths.videos_dir, ex_id))
-        assert video.shape[1:] == (C.VID_HEIGHT, C.VID_WIDTH, 3), video.shape
-        tokens = np.load(os.path.join(paths.questions_dir, ex_id + ".npy")).astype(np.int64)
-        w.add(video, tokens, int(labels[ex_id]), int(q_ids.get(ex_id, 0)))
-    w.close()
+    with RecordWriter(out_file, (C.VID_HEIGHT, C.VID_WIDTH, 3),
+                      payload="u8", compress=compress) as w:
+        for ex_id in ids:
+            video = _decode_video(os.path.join(paths.videos_dir, ex_id))
+            assert video.shape[1:] == (C.VID_HEIGHT, C.VID_WIDTH, 3), video.shape
+            tokens = np.load(os.path.join(paths.questions_dir, ex_id + ".npy")).astype(np.int64)
+            w.add(video, tokens, int(labels[ex_id]), int(q_ids.get(ex_id, 0)))
     return ids
 
 

@@ -32,7 +32,13 @@ def make_optimizer(l_rate: float):
 
 
 def set_learning_rate(opt_state, l_rate: float):
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(l_rate, dtype=jnp.float32)
+    # a host numpy scalar, NOT a device array: the rest of opt_state may be a
+    # mesh-global pytree (CLI --mesh_devices/--distributed), and a process-
+    # local committed device scalar mixed into that donated input would break
+    # multi-controller placement; numpy inputs auto-replicate at every call
+    import numpy as np
+
+    opt_state.hyperparams["learning_rate"] = np.float32(l_rate)
     return opt_state
 
 
