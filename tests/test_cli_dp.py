@@ -49,6 +49,19 @@ def test_cli_dp_with_model_parallel_runs(synth):
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(p))
 
 
+def test_cli_q_only_mesh_runs(synth, capsys):
+    """q_only_eval has its own train loop — it must also place params on the
+    mesh (shard_model) before sharded batches arrive."""
+    from videonavqa_tpu.cli import q_only_eval
+
+    q_only_eval.main([
+        "--model", "bow", "--data_dir", synth, "--batch_size", "4",
+        "--num_epochs", "2", "--stats_after_every", "1", "--l_rate", "1e-3",
+        "--compute_dtype", "float32", "--mesh_devices", "4"])
+    out = capsys.readouterr().out
+    assert "Validation" in out
+
+
 def test_cli_batch_not_divisible_errors(synth):
     with pytest.raises(SystemExit, match="divide"):
         _train(synth, ["--mesh_devices", "4", "--batch_size", "3"])

@@ -55,6 +55,7 @@ def main(argv=None):
     params, state = h.init_model()
     optimizer = make_optimizer(args.l_rate)
     opt_state = optimizer.init(params)
+    params, state, opt_state = h.shard_model(params, state, opt_state)
     # q_only applies no gradient clipping (eval/q_only_eval.py:92-94)
     train_step = make_train_step(h.spec, h.cfg, optimizer,
                                  class_weights=h.class_weights, reduction="mean")
@@ -77,11 +78,12 @@ def main(argv=None):
             print("Validation:\tAverage loss: {:.6f}, F1: w{:.4f}, micro{:.4f}".format(
                 vs["loss"], vs["f1_w"], vs["f1_micro"]))
             if vs["f1_micro"] > best_acc and args.checkpoint_path:
-                best_acc = vs["f1_micro"]
-                ckpt.save_checkpoint(
-                    args.checkpoint_path, params=params, state=state,
-                    opt_state=opt_state,
-                    meta={"epoch": epoch, "model": args.model, "val_acc": best_acc})
+                best_acc = vs["f1_micro"]  # global metric: same on every host
+                if jax.process_index() == 0:
+                    ckpt.save_checkpoint(
+                        args.checkpoint_path, params=params, state=state,
+                        opt_state=opt_state,
+                        meta={"epoch": epoch, "model": args.model, "val_acc": best_acc})
 
 
 if __name__ == "__main__":
