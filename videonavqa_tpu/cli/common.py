@@ -180,6 +180,30 @@ def load_stem(args, paths: DataPaths, calibration_video=None, mesh=None):
         print("=> No obj_detect.pt found - using random object detector")
         det_params, det_state = init_obj_detector(key)
 
+    if getattr(args, "int8_stem", False) and calibration_video is not None:
+        from videonavqa_tpu.stem.quant import (
+            calibrate_act_scales, quantize_stem, stem_features_int8,
+        )
+
+        print("=> Calibrating int8 stem on one batch")
+        # calibration runs EAGER reductions — keep everything single-device
+        # here (eager collectives over a mesh-replicated stem deadlock the
+        # CPU all-reduce rendezvous), then mesh-place the quantized result
+        calib = jax.device_put(calibration_video, jax.devices()[0])
+        scales = calibrate_act_scales(vgg_params, det_params, det_state, calib)
+        qstem = quantize_stem(vgg_params, det_params, act_scales=scales)
+        if mesh is not None:
+            from videonavqa_tpu.parallel import replicate
+
+            qstem = replicate(qstem, mesh)
+            det_params = replicate(det_params, mesh)
+            det_state = replicate(det_state, mesh)
+
+        def stem_fn(video):
+            return stem_features_int8(qstem, det_params, det_state, video)
+
+        return stem_fn
+
     if mesh is not None:
         # the stem is closed over by the jitted step as a constant — under a
         # mesh its arrays must be mesh-placed (replicated), not single-device
@@ -188,21 +212,6 @@ def load_stem(args, paths: DataPaths, calibration_video=None, mesh=None):
         vgg_params = replicate(vgg_params, mesh)
         det_params = replicate(det_params, mesh)
         det_state = replicate(det_state, mesh)
-
-    if getattr(args, "int8_stem", False) and calibration_video is not None:
-        from videonavqa_tpu.stem.quant import (
-            calibrate_act_scales, quantize_stem, stem_features_int8,
-        )
-
-        print("=> Calibrating int8 stem on one batch")
-        scales = calibrate_act_scales(vgg_params, det_params, det_state,
-                                      calibration_video)
-        qstem = quantize_stem(vgg_params, det_params, act_scales=scales)
-
-        def stem_fn(video):
-            return stem_features_int8(qstem, det_params, det_state, video)
-
-        return stem_fn
 
     # the stem follows --compute_dtype (bfloat16 default on TPU; tests pass
     # float32, which is also much faster on CPU where bf16 is emulated)
