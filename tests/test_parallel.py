@@ -184,6 +184,31 @@ def test_host_batch_slice_math(monkeypatch):
         multihost.host_batch_slice(30)  # not divisible by 4 hosts
 
 
+def test_host_localize_batch_math(monkeypatch):
+    """The python-loader multihost slice: rows, num_valid clamping, and
+    non-batch leaves pass through untouched."""
+    from videonavqa_tpu.cli.common import host_localize_batch
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    nb = {
+        "label": np.arange(8, dtype=np.int32),
+        "question": np.arange(8 * 3).reshape(8, 3),
+        "num_valid": np.int32(5),  # global: 3 padding rows on the 2nd host
+        "scalar_meta": np.float32(1.5),
+    }
+    out = []
+    for pid in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda pid=pid: pid)
+        out.append(host_localize_batch(dict(nb), 8))
+    np.testing.assert_array_equal(out[0]["label"], [0, 1, 2, 3])
+    np.testing.assert_array_equal(out[1]["label"], [4, 5, 6, 7])
+    np.testing.assert_array_equal(
+        np.concatenate([o["question"] for o in out]), nb["question"])
+    assert int(out[0]["num_valid"]) == 4  # full slice valid
+    assert int(out[1]["num_valid"]) == 1  # 5 - 4 = 1 real row here
+    assert all(o["scalar_meta"] == np.float32(1.5) for o in out)
+
+
 def test_global_batch_from_host_shards_single_process():
     """On one process the host shard IS the global batch; the assembled arrays
     must be 'data'-sharded and value-identical."""
