@@ -21,6 +21,10 @@
 //   magic 'VNR1' | u32 version | u32 num_examples | u16 H | u16 W | u16 C
 //   | u16 flags (low byte: 0 = raw frames, 1 = zlib frames, 2 = zstd frames;
 //                high byte: payload code above)
+//   [version >= 2] u8 fingerprint[16] — provenance hash of whatever produced
+//     the payload (for feature caches: the frozen-stem weights +
+//     compute_dtype, cli/extract_features.py). Zero = no provenance. The
+//     loader carries it opaquely; staleness checks happen in Python.
 //   index[num_examples]:
 //     u64 video_offset | u32 num_frames | u32 frame_comp_bytes[... per frame]
 //       -> stored as: u64 offset, u32 num_frames, then per-frame u32 sizes
@@ -75,6 +79,7 @@ struct VnrFile {
   std::vector<uint8_t> resident;  // fallback: data section in RAM
   uint64_t data_start = 0;
   uint16_t H = 0, W = 0, C = 0, codec = 0, code = 0;
+  uint8_t fingerprint[16] = {0};  // v2 provenance hash (zero for v1 files)
   std::vector<ExampleIndex> index;
   const uint8_t* data() const {
     return map ? map + data_start : resident.data();
@@ -147,6 +152,11 @@ void* vnr_open(const char* path) {
   vf->C = C;
   vf->codec = flags & 0xff;
   vf->code = flags >> 8;
+  if (version >= 2 && !read_pod(f, vf->fingerprint, 16)) {
+    fclose(f);
+    delete vf;
+    return nullptr;
+  }
   vf->index.resize(n);
   for (uint32_t i = 0; i < n; ++i) {
     ExampleIndex& e = vf->index[i];
@@ -197,6 +207,11 @@ void vnr_frame_info(void* handle, int32_t* out4) {
   out4[1] = vf->W;
   out4[2] = vf->C;
   out4[3] = vf->code;
+}
+
+// Copies the 16-byte provenance fingerprint (all-zero for v1 files).
+void vnr_fingerprint(void* handle, uint8_t* out16) {
+  std::memcpy(out16, static_cast<VnrFile*>(handle)->fingerprint, 16);
 }
 
 // Decompress ALL raw frames of one example into out (caller sizes it as

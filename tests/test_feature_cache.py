@@ -153,6 +153,69 @@ def test_fp8_payload_roundtrip_and_forward(tmp_path):
     assert np.isfinite(fp8_logits).all()
 
 
+def test_stale_cache_refused_and_rebuilt(packed_videos):
+    """A cache whose recorded stem fingerprint doesn't match the current stem
+    is never silently reused: detection across both provenance axes (weight
+    files, compute_dtype), hard error without a stem, rebuild with one."""
+    import argparse
+
+    from videonavqa_tpu.cli.common import load_stem
+    from videonavqa_tpu.cli.extract_features import (
+        ensure_features, feature_file, features_needed, stem_fingerprint,
+    )
+    from videonavqa_tpu.data.pipeline import DataPaths, load_json
+    from videonavqa_tpu.data.vnr import read_fingerprint
+
+    base, _, ids = packed_videos
+    paths = DataPaths(base)
+    split_map = {"train": ids}
+    args = argparse.Namespace(data_dir=base, chunk=16, compress="zstd",
+                              compute_dtype="float32")
+    out = feature_file(base, "train")
+    stem_fn = load_stem(args, paths)
+    files = ensure_features(args, stem_fn, ["train"], split_map)
+    fp = stem_fingerprint(args, paths)
+    assert read_fingerprint(files["train"]) == fp
+
+    # current cache: accepted, and reusable without any stem at all
+    assert features_needed(args, paths, ["train"]) == []
+    mtime = os.path.getmtime(out)
+    assert ensure_features(args, None, ["train"], split_map)["train"] == out
+    assert os.path.getmtime(out) == mtime  # untouched
+
+    # axis 1: different compute_dtype -> different stem -> stale
+    args_b = argparse.Namespace(data_dir=base, chunk=16, compress="zstd",
+                                compute_dtype="bfloat16")
+    assert stem_fingerprint(args_b, paths) != fp
+    assert features_needed(args_b, paths, ["train"]) == ["train"]
+    with pytest.raises(ValueError, match="missing or stale"):
+        ensure_features(args_b, None, ["train"], split_map)
+
+    # axis 2: dropping in detector weights (the real obj_detect.pt scenario,
+    # reference eval/utils.py:42-51) changes the fingerprint
+    det = paths.obj_detector_file
+    assert not os.path.exists(det)
+    try:
+        with open(det, "wb") as f:
+            f.write(b"pretend these are torch weights")
+        assert stem_fingerprint(args, paths) != fp
+        assert features_needed(args, paths, ["train"]) == ["train"]
+    finally:
+        os.remove(det)
+
+    # refuse-and-rebuild: a cache stamped by some *other* stem (simulated by
+    # patching the v2 header fingerprint at offset 20) gets re-extracted and
+    # re-stamped with the current stem's fingerprint
+    with open(out, "r+b") as f:
+        f.seek(20)
+        f.write(b"some-other-stem!")
+    assert read_fingerprint(out) != fp
+    assert features_needed(args, paths, ["train"]) == ["train"]
+    files = ensure_features(args, stem_fn, ["train"], split_map)
+    assert read_fingerprint(files["train"]) == fp
+    assert features_needed(args, paths, ["train"]) == []
+
+
 def test_harness_feature_cache_end_to_end(packed_videos, tmp_path):
     """--feature_cache trains and tests the trunk without the stem."""
     from videonavqa_tpu.cli import q_and_v_eval, q_and_v_test

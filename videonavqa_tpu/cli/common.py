@@ -251,26 +251,70 @@ def _gather_across_hosts(*arrays):
     max_n = int(np.max(np.asarray(mhu.process_allgather(n_local))))
 
     def one(a):
+        a = np.asarray(a, np.int64)
+        # the -1 pad is stripped by sign below — a negative *value* would be
+        # silently dropped and desynchronize y_pred/y_target, so reject it
+        assert np.all(a >= 0), "gathered arrays must be non-negative"
         pad = np.full(max_n, -1, np.int64)
         pad[:len(a)] = a
         g = np.asarray(mhu.process_allgather(pad)).reshape(-1)
         return g[g >= 0]
 
-    return tuple(one(np.asarray(a, np.int64)) for a in arrays)
+    return tuple(one(a) for a in arrays)
 
 
-def _await_artifacts(paths, timeout=3600):
+def _failure_sentinel(path):
+    return path + ".failed"
+
+
+class _artifact_guard:
+    """Process-0 context for one-time artifact writes: on exception it drops a
+    ``<path>.failed`` sentinel next to each artifact so waiting hosts fail
+    fast instead of polling out their full timeout; on entry it clears stale
+    sentinels from a previous failed run."""
+
+    def __init__(self, paths):
+        self.paths = list(paths)
+        for p in self.paths:
+            if os.path.exists(_failure_sentinel(p)):
+                os.remove(_failure_sentinel(p))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            for p in self.paths:
+                try:
+                    with open(_failure_sentinel(p), "w") as f:
+                        f.write(f"{exc_type.__name__}: {exc}\n")
+                except OSError:
+                    pass
+        return False
+
+
+def _await_artifacts(paths, timeout=3600, ready=None):
     """Multi-host 'barrier' for one-time disk artifacts written by process 0:
     the other hosts poll for the files on the shared filesystem (which the
     dataset requires anyway). A device-collective barrier would be wrong
     here — Gloo/ICI handshakes time out (~30 s) while process 0 spends
     minutes packing/extracting without participating. Writers are atomic
-    (os.replace), so existence == complete."""
+    (os.replace), so existence == complete; ``ready`` overrides the
+    completion predicate (e.g. fingerprint match for re-extracted caches).
+    A ``<path>.failed`` sentinel (written by _artifact_guard when the writer
+    raises) aborts the wait immediately."""
     if jax.process_index() == 0:
         return
+    if ready is None:
+        ready = os.path.exists
     t0 = time.time()
     for p in paths:
-        while not os.path.exists(p):
+        while not ready(p):
+            if os.path.exists(_failure_sentinel(p)):
+                with open(_failure_sentinel(p)) as f:
+                    reason = f.read().strip()
+                raise RuntimeError(
+                    f"process 0 failed while writing {p}: {reason}")
             if time.time() - t0 > timeout:
                 raise TimeoutError(f"waiting for process 0 to write {p}")
             time.sleep(1.0)
@@ -278,20 +322,32 @@ def _await_artifacts(paths, timeout=3600):
 
 def _extract_features_once(args, h, splits):
     """Feature-cache files, extracted by process 0 only (others wait)."""
-    from videonavqa_tpu.cli.extract_features import ensure_features, feature_file
+    from videonavqa_tpu.cli.extract_features import (
+        ensure_features, feature_file, features_needed,
+    )
 
     dtype = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
     if jax.process_index() == 0:
-        # load the stem only if something is actually missing, and load it
-        # process-local: a jit over the mesh-replicated stem would require
+        # load the stem only if a cache is actually missing or stale
+        # (fingerprint mismatch vs the stem these args resolve to), and load
+        # it process-local: a jit over the mesh-replicated stem would require
         # every process's participation (SPMD)
-        missing = [s for s in splits
-                   if not os.path.exists(feature_file(args.data_dir, s, dtype))]
+        missing = features_needed(args, h.paths, splits, quiet=True)
         stem_fn = load_stem(args, h.paths) if missing else None
-        files = ensure_features(args, stem_fn, splits, h.split)
+        outs = [feature_file(args.data_dir, s, dtype) for s in splits]
+        with _artifact_guard(outs):
+            files = ensure_features(args, stem_fn, splits, h.split)
     else:
+        # wait for existence AND a matching stem fingerprint: a stale cache
+        # may exist while process 0 is still re-extracting it (atomic
+        # os.replace), so existence alone is not "ready" here
+        from videonavqa_tpu.cli.extract_features import stem_fingerprint
+        from videonavqa_tpu.data.vnr import read_fingerprint
+
         files = {s: feature_file(args.data_dir, s, dtype) for s in splits}
-    _await_artifacts(files.values())
+        want = stem_fingerprint(args, h.paths)
+        done = lambda p: os.path.exists(p) and read_fingerprint(p) == want
+        _await_artifacts(files.values(), ready=done)
     return files
 
 
@@ -570,7 +626,6 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         if getattr(args, "int8_stem", False):
             raise SystemExit("--feature_cache and --int8_stem are mutually "
                              "exclusive (the cache is extracted with the bf16 stem)")
-        from videonavqa_tpu.cli.extract_features import ensure_features
         from videonavqa_tpu.data.vnr import VNRBatchLoader, ensure_built
 
         ensure_built()
@@ -597,7 +652,8 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
             path = os.path.join(args.data_dir, f"{part}.vnr")
             if not os.path.exists(path) and jax.process_index() == 0:
                 print(f"=> Packing {part} split into {path}")
-                pack_dataset(args.data_dir, path, h.split[part])
+                with _artifact_guard([path]):
+                    pack_dataset(args.data_dir, path, h.split[part])
             _await_artifacts([path])
             loaders[part] = VNRBatchLoader(
                 path, args.batch_size, shuffle=(part == "train"),
@@ -697,7 +753,8 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
         path = os.path.join(args.data_dir, "test.vnr")
         if not os.path.exists(path) and jax.process_index() == 0:
             print(f"=> Packing test split into {path}")
-            pack_dataset(args.data_dir, path, h.split["test"])
+            with _artifact_guard([path]):
+                pack_dataset(args.data_dir, path, h.split["test"])
         _await_artifacts([path])
         loader = VNRBatchLoader(
             path, args.batch_size, shuffle=False, mode="test",

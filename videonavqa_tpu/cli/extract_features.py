@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
 import time
 
@@ -47,6 +48,75 @@ def feature_file(data_dir: str, split: str, feature_dtype: str = "bfloat16") -> 
     return os.path.join(data_dir, f"features_{split}{tag}.fnr")
 
 
+#: bump when the stem computation itself changes incompatibly (feature
+#: geometry, normalization, layer set) — invalidates every existing cache
+_STEM_CODE_VERSION = b"stem-v1"
+
+
+def _hash_file_into(h, path: str):
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            h.update(chunk)
+
+
+def stem_fingerprint(args, paths) -> bytes:
+    """16-byte provenance hash of the exact stem a feature cache was (or would
+    be) extracted with: the resolved VGG + detector weight files (content
+    hash, or the seeded random-init marker when absent — load_stem's exact
+    resolution rules, cli/common.py) plus the extraction compute_dtype.
+
+    Stored in the .fnr header (v2) at extraction time; ensure_features
+    refuses/rebuilds any cache whose recorded fingerprint differs, so swapping
+    in real vgg16_caffe.pth / obj_detect.pt (the artifacts the reference
+    trains on, eval/utils.py:42-51) or changing --compute_dtype can never
+    silently reuse features from the wrong stem."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(_STEM_CODE_VERSION)
+    frcnn_path = getattr(args, "frcnn_pretrained_path", None)
+    if frcnn_path and os.path.exists(frcnn_path):
+        h.update(b"vgg-file:")
+        _hash_file_into(h, frcnn_path)
+    else:
+        h.update(b"vgg-random:1234")  # load_stem's seeded init
+    if os.path.exists(paths.obj_detector_file):
+        h.update(b"det-file:")
+        _hash_file_into(h, paths.obj_detector_file)
+    else:
+        h.update(b"det-random:1234")
+    h.update(b"dtype:" + str(getattr(args, "compute_dtype", "bfloat16")).encode())
+    return h.digest()
+
+
+def features_needed(args, paths, splits, quiet=False) -> list:
+    """Splits whose feature cache is missing OR stale (fingerprint mismatch vs
+    the stem the current args resolve to). Legacy v1 caches (no recorded
+    provenance) count as stale."""
+    from videonavqa_tpu.data.vnr import read_fingerprint
+
+    dtype = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
+    want = stem_fingerprint(args, paths)
+    needed = []
+    for split in splits:
+        out = feature_file(args.data_dir, split, dtype)
+        if not os.path.exists(out):
+            needed.append(split)
+            continue
+        have = read_fingerprint(out)
+        if have != want:
+            if not quiet:
+                print(f"=> STALE feature cache {out}: recorded stem "
+                      f"fingerprint "
+                      f"{'(none, legacy v1)' if have is None else have.hex()}"
+                      f" != current stem {want.hex()} — re-extracting so "
+                      f"training never silently uses features from the "
+                      f"wrong stem")
+            needed.append(split)
+    return needed
+
+
 def make_stem_call(stem_fn, chunk: int, store_dtype):
     """jit a fixed-shape per-chunk stem: u8 [chunk,160,208,3] -> stored feats."""
 
@@ -61,8 +131,12 @@ def make_stem_call(stem_fn, chunk: int, store_dtype):
     return call
 
 
-def extract_split(args, stem_fn, split: str, ids) -> str:
-    """Extract one split's features; returns the output path."""
+def extract_split(args, stem_fn, split: str, ids, fingerprint=None) -> str:
+    """Extract one split's features; returns the output path. The stem
+    fingerprint is recorded in the output header so later runs can detect a
+    stale cache (stem_fingerprint)."""
+    if fingerprint is None:
+        fingerprint = stem_fingerprint(args, DataPaths(args.data_dir))
     src = os.path.join(args.data_dir, f"{split}.vnr")
     if not os.path.exists(src):
         print(f"=> Packing {split} split into {src}")
@@ -79,7 +153,8 @@ def extract_split(args, stem_fn, split: str, ids) -> str:
     chunk = min(getattr(args, "chunk", 128), max(8, -(-max_raw // 8) * 8))
     out = feature_file(args.data_dir, split, payload)
     writer = RecordWriter(out, FEATURE_SHAPE, payload=payload,
-                          compress=getattr(args, "compress", "zstd"))
+                          compress=getattr(args, "compress", "zstd"),
+                          fingerprint=fingerprint)
     call = make_stem_call(stem_fn, chunk, jnp.dtype(store_dtype))
     t0, n_frames = time.time(), 0
     with writer:
@@ -108,16 +183,28 @@ def extract_split(args, stem_fn, split: str, ids) -> str:
 
 
 def ensure_features(args, stem_fn, splits, split_map) -> dict:
-    """Extract any missing feature files; returns {split: path}."""
-    outs = {}
+    """Extract any missing-or-stale feature files; returns {split: path}.
+
+    Staleness = the cache's recorded stem fingerprint differs from the stem
+    the current args resolve to (different weight files, random vs pretrained,
+    or a different --compute_dtype) — such caches are re-extracted, never
+    silently reused. ``stem_fn`` may be None when every cache is current."""
+    paths = DataPaths(args.data_dir)
     dtype = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
+    needed = set(features_needed(args, paths, splits))
+    if needed and stem_fn is None:
+        raise ValueError(
+            f"feature caches for splits {sorted(needed)} are missing or "
+            f"stale but no stem was provided to re-extract them")
+    fp = stem_fingerprint(args, paths)
+    outs = {}
     for split in splits:
-        out = feature_file(args.data_dir, split, dtype)
-        if not os.path.exists(out):
+        if split in needed:
             print(f"=> Extracting frozen-stem features for split '{split}'")
-            outs[split] = extract_split(args, stem_fn, split, split_map[split])
+            outs[split] = extract_split(args, stem_fn, split,
+                                        split_map[split], fingerprint=fp)
         else:
-            outs[split] = out
+            outs[split] = feature_file(args.data_dir, split, dtype)
     return outs
 
 

@@ -107,12 +107,15 @@ class RecordWriter:
     index is buffered and the final file is assembled atomically on close().
     """
 
-    def __init__(self, out_file, frame_shape, *, payload="u8", compress="zstd"):
+    def __init__(self, out_file, frame_shape, *, payload="u8", compress="zstd",
+                 fingerprint=b""):
         self.out_file = out_file
         self.frame_shape = tuple(int(s) for s in frame_shape)
         self.payload_code = _PAYLOAD_CODES[payload]
         self.elem_size = _PAYLOADS[self.payload_code][0].itemsize
         self.codec = _CODEC_FLAGS[compress]
+        assert len(fingerprint) <= 16, "fingerprint is at most 16 bytes"
+        self.fingerprint = bytes(fingerprint).ljust(16, b"\0")
         self._index = []
         self._offset = 0
         self._data_path = out_file + ".data.tmp"
@@ -148,8 +151,11 @@ class RecordWriter:
         flags = self.codec | (self.payload_code << 8)
         tmp = self.out_file + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(struct.pack("<IIIHHHH", _MAGIC, 1, len(self._index),
+            # header v2 appends a 16-byte provenance fingerprint (zero when
+            # the payload has no upstream producer to pin, e.g. raw video)
+            f.write(struct.pack("<IIIHHHH", _MAGIC, 2, len(self._index),
                                 H, W, Ch, flags))
+            f.write(self.fingerprint)
             f.writelines(self._index)
             with open(self._data_path, "rb") as d:
                 shutil.copyfileobj(d, f)
@@ -174,6 +180,25 @@ class RecordWriter:
         else:
             self.abort()
         return False
+
+
+def read_fingerprint(path):
+    """The 16-byte provenance fingerprint of a .vnr/.fnr file, or None for
+    legacy v1 headers (which predate provenance tracking). Reads only the
+    header — no native handle needed."""
+    with open(path, "rb") as f:
+        head = f.read(20)
+        if len(head) < 20:
+            raise IOError(f"truncated VNR header in {path}")
+        magic, version = struct.unpack_from("<II", head)
+        if magic != _MAGIC:
+            raise IOError(f"{path} is not a VNR file")
+        if version < 2:
+            return None
+        fp = f.read(16)
+        if len(fp) < 16:
+            raise IOError(f"truncated VNR v2 header in {path}")
+        return fp
 
 
 def pack_dataset(base_dir, out_file, example_ids=None, *, compress="zstd"):
