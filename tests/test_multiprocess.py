@@ -82,6 +82,28 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(results[0][2], leafsum, rtol=1e-4, atol=1e-5)
 
 
+def test_expect_multiprocess_fails_fast_on_silent_degradation():
+    """--distributed with auto-detect that resolves to ONE process must raise,
+    not silently run N independent single-host trainings (parallel/
+    multihost.py). Fresh subprocess: jax.distributed state is global."""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from videonavqa_tpu.parallel import multihost\n"
+        "multihost.initialize(None, 1, None, expect_multiprocess=True)\n"
+        "print('EXPLICIT-SINGLE-OK')\n"
+        "try:\n"
+        "    multihost.initialize(None, None, None, expect_multiprocess=True)\n"
+        "    print('NO-ERROR')\n"
+        "except RuntimeError as e:\n"
+        "    print('DEGRADATION-CAUGHT' if 'train alone' in str(e) else repr(e))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run([sys.executable, "-c", code], text=True, env=env,
+                         cwd=REPO, capture_output=True, timeout=120)
+    assert "EXPLICIT-SINGLE-OK" in out.stdout, out.stdout + out.stderr
+    assert "DEGRADATION-CAUGHT" in out.stdout, out.stdout + out.stderr
+
+
 CLI_WORKER = os.path.join(REPO, "tests", "_mp_cli_worker.py")
 
 

@@ -428,7 +428,8 @@ class Harness:
 
             multihost.initialize(getattr(args, "coordinator_address", None),
                                  getattr(args, "num_processes", None),
-                                 getattr(args, "process_id", None))
+                                 getattr(args, "process_id", None),
+                                 expect_multiprocess=True)
         self.mesh = None
         n_mesh = getattr(args, "mesh_devices", 0) or 0
         if n_mesh:

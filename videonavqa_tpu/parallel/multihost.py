@@ -12,9 +12,17 @@ from __future__ import annotations
 import jax
 
 
-def initialize(coordinator_address=None, num_processes=None, process_id=None):
+def initialize(coordinator_address=None, num_processes=None, process_id=None,
+               expect_multiprocess=False):
     """jax.distributed.initialize with TPU auto-detection when args are None.
-    Safe to call on single-process setups (no-ops on failure)."""
+    Safe to call on single-process setups (no-ops on failure).
+
+    ``expect_multiprocess`` guards the worst misconfiguration in the
+    auto-detect path: a swallowed initialize failure silently leaves every
+    host training alone as N independent single-process runs, each producing
+    plausible-looking metrics. When set (the CLI sets it for --distributed),
+    ending up with ``jax.process_count() == 1`` raises instead — unless the
+    caller explicitly asked for one process."""
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -23,6 +31,13 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     except (ValueError, RuntimeError) as e:  # single-process / already initialized
         if "already initialized" not in str(e) and num_processes not in (None, 1):
             raise
+    if expect_multiprocess and num_processes != 1 and jax.process_count() == 1:
+        raise RuntimeError(
+            "--distributed was requested but jax.distributed resolved to a "
+            "single process: this host would silently train alone while its "
+            "pod peers do the same. Pass explicit --coordinator_address/"
+            "--num_processes/--process_id (or --num_processes 1 / drop "
+            "--distributed if single-process is intended).")
 
 
 def host_batch_slice(global_batch_size: int):
