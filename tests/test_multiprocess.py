@@ -82,6 +82,64 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(results[0][2], leafsum, rtol=1e-4, atol=1e-5)
 
 
+MP2_WORKER = os.path.join(REPO, "tests", "_mp_cli_mp2_worker.py")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_two_process_model_parallel_checkpoint_cycle(tmp_path):
+    """Multi-host model parallelism end-to-end: 2 processes x 4 devices with
+    --model_parallel 2 ('model'-sharded leaves span hosts), full checkpoint
+    cycle (collective all-gather save -> restore -> re-shard -> train on),
+    matching a single-process run of the identical config."""
+    from videonavqa_tpu.data.synthetic import generate_synthetic_dataset
+
+    base = str(tmp_path / "mp2cli")
+    generate_synthetic_dataset(base, num_houses=3, trajs_per_house=8, seed=11,
+                               video_format="npy", max_frames=8)
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, MP2_WORKER, str(pid), str(port), base],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=REPO)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    res = []
+    for pid, out in enumerate(outs):
+        assert procs[pid].returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        m = re.search(r"CLIMP2 pid=\d+ live0=(-?[\d.]+) ck0=(-?[\d.]+) "
+                      r"final=(-?[\d.]+)", out)
+        assert m, f"no result line from worker {pid}:\n{out[-3000:]}"
+        res.append(tuple(float(g) for g in m.groups()))
+
+    assert res[0] == res[1], res  # hosts agree on all global quantities
+    live0, ck0, final = res[0]
+    # checkpoint round-trip of the cross-host-sharded params is exact
+    np.testing.assert_allclose(ck0, live0, rtol=1e-6)
+
+    # single-process reference: same config, same checkpoint/restore cycle
+    from videonavqa_tpu.cli.common import build_q_and_v_parser, run_training
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    ckpt_path = str(tmp_path / "sp_ckpt.npz")
+    common = [
+        "--data_dir", base, "--model", "film_gp_pt", "--batch_size", "8",
+        "--num_res_blocks", "1", "--num_res_block_channels", "16",
+        "--num_tail_channels", "4", "--embed_size", "8", "--hidden_size", "8",
+        "--compute_dtype", "float32", "--feature_cache", "true",
+        "--mesh_devices", "8", "--model_parallel", "2",
+    ]
+    args = build_q_and_v_parser().parse_args(
+        common + ["--num_epochs", "1", "--checkpoint_path", ckpt_path])
+    run_training(args, "film_gp_pt")
+    args2 = build_q_and_v_parser().parse_args(
+        common + ["--num_epochs", "1",
+                  "--checkpoint_path", epoch_path(ckpt_path, 0)])
+    params_sp, _ = run_training(args2, "film_gp_pt")
+    ref = sum(float(np.asarray(l).sum()) for l in jax.tree.leaves(params_sp))
+    np.testing.assert_allclose(final, ref, atol=5e-3)
+
+
 def test_expect_multiprocess_fails_fast_on_silent_degradation():
     """--distributed with auto-detect that resolves to ONE process must raise,
     not silently run N independent single-host trainings (parallel/

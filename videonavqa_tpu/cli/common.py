@@ -436,11 +436,6 @@ class Harness:
             from videonavqa_tpu.parallel import make_mesh
 
             mp = getattr(args, "model_parallel", 1)
-            if jax.process_count() > 1 and mp > 1:
-                raise SystemExit(
-                    "multi-host model parallelism is unsupported in the CLI "
-                    "(checkpoints of cross-host-sharded params); use "
-                    "--model_parallel 1")
             if jax.process_count() > 1 and getattr(args, "int8_stem", False):
                 raise SystemExit(
                     "--int8_stem calibration is not supported multi-host; "
@@ -500,23 +495,19 @@ class Harness:
         if self.mesh is None:
             return params, state, opt_state
         from videonavqa_tpu.parallel import (
-            opt_state_shardings, param_shardings, replicate,
+            opt_state_shardings, param_shardings, put_global, replicate,
         )
 
-        if jax.process_count() > 1:
-            # multi-controller: every process holds identical host values
-            # (same seed / same checkpoint file); replicate from local copies
-            params = replicate(params, self.mesh)
-            state = replicate(state, self.mesh)
-            if opt_state is not None:
-                opt_state = replicate(opt_state, self.mesh)
-            return params, state, opt_state
-
+        # put_global handles both topologies: plain device_put single-
+        # controller, make_array_from_callback assembly from the identical
+        # host copies (same seed / same checkpoint file) multi-controller —
+        # including 'model'-sharded leaves that span hosts, whose checkpoint
+        # save all-gathers them back (utils/checkpoint._np_global)
         p_shard = param_shardings(params, self.mesh)
-        params = jax.device_put(params, p_shard)
+        params = put_global(params, p_shard)
         state = replicate(state, self.mesh)
         if opt_state is not None:
-            opt_state = jax.device_put(
+            opt_state = put_global(
                 opt_state,
                 opt_state_shardings(opt_state, params, p_shard, self.mesh))
         return params, state, opt_state
@@ -714,9 +705,9 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
                   "F1: w{:.4f}, micro{:.4f}\t({:.2f} ex/s)\n".format(
                       epoch, summary["loss"], summary["hit"], summary["num_examples"],
                       summary["f1_w"], summary["f1_micro"], summary["examples_per_sec"]))
-            if args.checkpoint_path and jax.process_index() == 0:
-                # multi-host: params replicate, so process 0's copy is the
-                # global checkpoint (model_parallel>1 is guarded off)
+            if args.checkpoint_path:
+                # every process calls (the snapshot all-gathers any leaves
+                # model-sharded across hosts — a collective); process 0 writes
                 ckpt.save_checkpoint_async(
                     ckpt.epoch_path(args.checkpoint_path, epoch),
                     params=params, state=state, opt_state=opt_state,

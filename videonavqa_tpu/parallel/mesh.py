@@ -61,6 +61,22 @@ def shard_batch(batch, mesh: Mesh):
     return {k: jax.device_put(v, spec(v)) for k, v in batch.items()}
 
 
+def put_global(tree, shardings):
+    """device_put that also works when ``shardings`` span multiple processes
+    (multi-host model parallelism). Under multi-controller JAX, device_put
+    onto non-addressable devices is unsupported; instead every process holds
+    the identical full host value (same seeded init / same checkpoint file)
+    and each leaf is assembled with make_array_from_callback, which slices
+    the local copy for this process's addressable shards."""
+    if jax.process_count() > 1:
+        def one(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+        return jax.tree.map(one, tree, shardings)
+    return jax.device_put(tree, shardings)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree on the mesh. Multi-controller meshes span
     non-addressable devices, where device_put is unsupported — there every

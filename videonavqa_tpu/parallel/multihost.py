@@ -23,14 +23,16 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     plausible-looking metrics. When set (the CLI sets it for --distributed),
     ending up with ``jax.process_count() == 1`` raises instead — unless the
     caller explicitly asked for one process."""
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except (ValueError, RuntimeError) as e:  # single-process / already initialized
-        if "already initialized" not in str(e) and num_processes not in (None, 1):
-            raise
+    if not jax.distributed.is_initialized():
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id)
+        except (ValueError, RuntimeError) as e:  # single-process / already init
+            if "already initialized" not in str(e) \
+                    and num_processes not in (None, 1):
+                raise
     if expect_multiprocess and num_processes != 1 and jax.process_count() == 1:
         raise RuntimeError(
             "--distributed was requested but jax.distributed resolved to a "

@@ -31,9 +31,23 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def _np_global(leaf):
+    """Host value of one leaf. A leaf sharded across hosts (multi-host
+    model parallelism) is not fully addressable, so it is all-gathered to a
+    replicated host copy first — a COLLECTIVE: every process must reach the
+    checkpoint snapshot together (cli/common.py calls save on all processes;
+    only process 0 writes)."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils as mhu
+
+        # tiled=True: global arrays come back at their global shape
+        return np.asarray(mhu.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
 def flatten_tree(tree, prefix=""):
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {prefix + _path_str(path): np.asarray(leaf) for path, leaf in leaves}
+    return {prefix + _path_str(path): _np_global(leaf) for path, leaf in leaves}
 
 
 def unflatten_like(template, flat, prefix=""):
@@ -74,7 +88,12 @@ def _write_flat(path, flat):
 
 
 def save_checkpoint(path, *, params, state=None, opt_state=None, meta=None):
-    _write_flat(path, _gather_flat(params, state, opt_state, meta))
+    """Write one global checkpoint. Under multi-host, EVERY process must call
+    this (the snapshot all-gathers cross-host-sharded leaves); the file is
+    written by process 0 only."""
+    flat = _gather_flat(params, state, opt_state, meta)
+    if jax.process_index() == 0:
+        _write_flat(path, flat)
 
 
 def load_checkpoint(path, *, params_template, state_template=None, opt_template=None):
@@ -111,11 +130,17 @@ _executor = None
 
 def save_checkpoint_async(path, *, params, state=None, opt_state=None, meta=None):
     """Snapshot device arrays to host *now* (so later buffer donation can't
-    race the save), then serialize + write on the background worker."""
+    race the save), then serialize + write on the background worker.
+
+    Under multi-host, every process must call this at the same point (the
+    snapshot's cross-host all-gather is a collective); only process 0 queues
+    the actual file write. Returns the future on process 0, else None."""
     global _executor
     from concurrent.futures import ThreadPoolExecutor
 
     flat = _gather_flat(params, state, opt_state, meta)
+    if jax.process_index() != 0:
+        return None
     if _executor is None:
         _executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
     fut = _executor.submit(_write_flat, path, flat)
