@@ -1,6 +1,7 @@
 """Int8 stem: quantization error bounds and layer-structure parity."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -36,3 +37,70 @@ def test_int8_stem_close_to_f32():
 
     g = jax.grad(loss)(video)
     assert float(jnp.abs(g).max()) == 0.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_int8_stem_dp_eval_matches_single_device():
+    """int8 stem + mesh, at reduced detector width (the full-size VGG exceeds
+    the one-core CPU mesh's collective-rendezvous budget, PARALLEL.md): the
+    load_stem recipe — calibrate eagerly on ONE device, quantize, replicate
+    onto the mesh — must give a DP eval step that matches the single-device
+    eval step on the same batch. Exercises the last untested flag combination
+    (--int8_stem with --mesh_devices)."""
+    from videonavqa_tpu.models import ModelConfig, get_model
+    from videonavqa_tpu.parallel import batch_sharding, make_mesh, replicate
+    from videonavqa_tpu.train.step import make_eval_step
+
+    key = jax.random.PRNGKey(0)
+    vgg_params = init_vgg_partial(key)
+    det_params, det_state = init_obj_detector(key, num_filters=32)
+    B, T = 8, 1
+    video = jax.random.uniform(key, (B, T, 160, 208, 3))
+
+    # calibrate single-device + eager (mesh-replicated eager reductions would
+    # deadlock the CPU all-reduce rendezvous — cli/common.load_stem)
+    calib = jax.device_put(video, jax.devices()[0])
+    scales = calibrate_act_scales(vgg_params, det_params, det_state, calib)
+    qstem = quantize_stem(vgg_params, det_params, act_scales=scales)
+
+    cfg = ModelConfig(model="film_gp_pt", num_res_blocks=1,
+                      num_res_block_channels=16, num_input_channels=32,
+                      num_tail_channels=4, embed_size=8, hidden_size=8,
+                      compute_dtype="float32")
+    spec = get_model("film_gp_pt")
+    params, state = spec.init(jax.random.PRNGKey(1), cfg)
+    batch = {
+        "video": video,
+        "question": jax.random.randint(key, (B, 7), 1, cfg.vocab_size),
+        "v_len": jnp.full((B,), T, jnp.int32),
+        "q_len": jnp.full((B,), 4, jnp.int32),
+        "label": jax.random.randint(key, (B,), 0, cfg.num_classes),
+    }
+    rng = jax.random.PRNGKey(2)
+
+    def stem_single(v):
+        return stem_features_int8(qstem, det_params, det_state, v)
+
+    m1 = make_eval_step(spec, cfg, reduction="sum", stem_fn=stem_single)(
+        params, state, batch, rng)
+
+    mesh = make_mesh(8, model_parallel=1)
+    q_r = replicate(qstem, mesh)
+    det_r = replicate(det_params, mesh)
+    ds_r = replicate(det_state, mesh)
+
+    def stem_mesh(v):
+        return stem_features_int8(q_r, det_r, ds_r, v)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    params_s = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+    state_s = jax.device_put(state, jax.tree.map(lambda _: rep, state))
+    bspec = batch_sharding(mesh)
+    batch_s = {k: jax.device_put(v, bspec(v)) for k, v in batch.items()}
+    with mesh:
+        m2 = make_eval_step(spec, cfg, reduction="sum", stem_fn=stem_mesh)(
+            params_s, state_s, batch_s, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m1["preds"]), np.asarray(m2["preds"]))
