@@ -250,3 +250,38 @@ def test_full_synthetic_generation_pipeline(tmp_path):
     loader = BatchLoader(ds, 2, shuffle=False, num_workers=2)
     batch = next(iter(loader.epoch(0)))
     assert batch["video"].shape[0] == 2
+
+
+def test_parallel_generation_bitmatches_sequential(tmp_path):
+    """--workers N must produce byte-identical artifacts to --workers 1 on
+    the same seed (per-house RNGs + per-house engines make houses order-
+    independent; the reference's one-job-per-house drivers scale the same
+    way, scripts/generate_trajectories.py:23-54)."""
+    import filecmp
+
+    from videonavqa_tpu.cli import generate_dataset
+
+    seq = str(tmp_path / "seq")
+    par = str(tmp_path / "par")
+    common = ["--num_houses", "6", "--trajs_per_house", "2", "--seed", "4"]
+    generate_dataset.main(["--out", seq] + common + ["--workers", "1"])
+    generate_dataset.main(["--out", par] + common + ["--workers", "3"])
+
+    files = []
+    for root, _, names in os.walk(seq):
+        for n in names:
+            files.append(os.path.relpath(os.path.join(root, n), seq))
+    assert files, "sequential run produced no artifacts"
+    mismatch = []
+    for rel in sorted(files):
+        a, b = os.path.join(seq, rel), os.path.join(par, rel)
+        assert os.path.exists(b), f"parallel run missing {rel}"
+        if not filecmp.cmp(a, b, shallow=False):
+            mismatch.append(rel)
+    assert not mismatch, f"artifacts differ: {mismatch}"
+    # and nothing extra on the parallel side
+    par_files = []
+    for root, _, names in os.walk(par):
+        for n in names:
+            par_files.append(os.path.relpath(os.path.join(root, n), par))
+    assert sorted(par_files) == sorted(files)

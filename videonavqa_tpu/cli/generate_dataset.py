@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
+import zlib
 
 import numpy as np
 
@@ -33,14 +34,32 @@ from videonavqa_tpu.datagen.split import build_split, split_houses
 from videonavqa_tpu.datagen.trajectory import TrajectoryObserver, add_lookarounds
 
 
-def generate_house(house_idx, out_dir, engine, rng, nprng, *, trajs_per_house,
+def _house_rngs(seed, house_idx):
+    """Independent, platform-stable per-house RNGs (crc32 keying, like the
+    loader's subsample RNG, data/pipeline.py:146-149). Per-house seeding makes
+    houses order-independent, so N parallel workers produce bit-identical
+    artifacts to a sequential run."""
+    s = zlib.crc32(f"{seed}/house{house_idx}".encode()) & 0x7FFFFFFF
+    return random.Random(s), np.random.RandomState(s ^ 0x5EED)
+
+
+def generate_house(house_idx, out_dir, *, seed, trajs_per_house,
                    num_rooms, verbose=False, resume=False):
-    """Generates one house. With ``resume``, houses whose question JSON already
-    exists are skipped (idempotent restartable generation — the reference's
-    skip-if-output-exists pattern, scripts/generate_questions_for_trajectories.py:68-72)."""
+    """Generates one house with its own RNGs and its own QuestionEngine —
+    self-contained, exactly like the reference's resumable one-job-per-house
+    drivers (scripts/generate_trajectories.py:23-54; question balancing and
+    question|answer dedup are therefore per-house there too). All outputs are
+    per-house files (atomic writes), so houses can generate concurrently.
+
+    With ``resume``, houses whose question JSON already exists are skipped
+    (the reference's skip-if-output-exists pattern,
+    scripts/generate_questions_for_trajectories.py:68-72)."""
+    questions_dir = os.path.join(out_dir, "questions")
     house_id = f"synth{house_idx:04d}"
-    if resume and os.path.exists(os.path.join(engine.save_dir, house_id + ".json")):
+    if resume and os.path.exists(os.path.join(questions_dir, house_id + ".json")):
         return house_id, 0
+    rng, nprng = _house_rngs(seed, house_idx)
+    engine = QuestionEngine(questions_dir, rng)
     house = generate_synthetic_house(nprng, num_rooms=num_rooms)
     renderer = SyntheticRenderer(house)
     videos_dir = os.path.join(out_dir, "videos")
@@ -93,20 +112,31 @@ def main(argv=None):
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="skip houses whose question JSON already exists")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="generate houses in parallel with a process pool "
+                             "(per-house RNGs/engines make outputs bit-"
+                             "identical to --workers 1; the reference scales "
+                             "the same way, one resumable job per house)")
     args = parser.parse_args(argv)
 
     questions_dir = os.path.join(args.out, "questions")
-    rng = random.Random(args.seed)
-    nprng = np.random.RandomState(args.seed)
-    engine = QuestionEngine(questions_dir, rng)
+    kw = dict(seed=args.seed, trajs_per_house=args.trajs_per_house,
+              num_rooms=args.num_rooms, verbose=args.verbose,
+              resume=args.resume)
+    if args.workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=args.workers) as pool:
+            futs = [pool.submit(generate_house, h, args.out, **kw)
+                    for h in range(args.num_houses)]
+            results = [f.result() for f in futs]  # house-index order
+    else:
+        results = [generate_house(h, args.out, **kw)
+                   for h in range(args.num_houses)]
 
     house_ids = []
     total = 0
-    for h in range(args.num_houses):
-        house_id, generated = generate_house(
-            h, args.out, engine, rng, nprng,
-            trajs_per_house=args.trajs_per_house, num_rooms=args.num_rooms,
-            verbose=args.verbose, resume=args.resume)
+    for house_id, generated in results:
         house_ids.append(house_id)
         total += generated
         print(f"{house_id}: {generated} examples")
