@@ -46,17 +46,21 @@ def test_attn_tail_pallas_matches_model():
     ref, _ = spec.apply(params, state, batch, cfg, train=False,
                         rng=jax.random.PRNGKey(1))
 
-    import sys
+    import videonavqa_tpu.kernels.film_reencode_pallas  # noqa: F401
 
-    mod = sys.modules["videonavqa_tpu.kernels.attn_tail_pallas"]
-    orig = mod.attn_tail_pallas
-    mod.attn_tail_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+    patches = [
+        _force_interpret("videonavqa_tpu.kernels.attn_tail_pallas",
+                         "attn_tail_pallas"),
+        _force_interpret("videonavqa_tpu.kernels.film_reencode_pallas",
+                         "film_reencode_pallas"),
+    ]
     try:
         cfg2 = ModelConfig(**{**cfg.__dict__, "use_pallas_kernels": True})
         got, _ = spec.apply(params, state, batch, cfg2, train=False,
                             rng=jax.random.PRNGKey(1))
     finally:
-        mod.attn_tail_pallas = orig
+        for mod, name, orig in patches:
+            setattr(mod, name, orig)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
@@ -74,3 +78,92 @@ def test_attn_tail_pallas_direct():
                           n_phantom=2.0, interpret=True)
     assert hs.shape == (B, S, A)
     assert bool(jnp.all(jnp.isfinite(hs)))
+
+
+def _force_interpret(module_name, fn_name):
+    """Monkeypatch a kernel entry point to interpret mode (CPU tests); the
+    models import it at call time, so patching the module attr is enough."""
+    import sys
+
+    mod = sys.modules[module_name]
+    orig = getattr(mod, fn_name)
+    setattr(mod, fn_name, lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    return mod, fn_name, orig
+
+
+def test_film_reencode_pallas_matches_model():
+    """film_gp eval logits with use_pallas_kernels (fused 35x56 re-encode
+    kernel) must equal the nested-scan path, including the film_hidden drift
+    and packed-sequence masking over ragged q_lens."""
+    import videonavqa_tpu.kernels.film_reencode_pallas  # noqa: F401 (register)
+
+    cfg = ModelConfig(
+        num_classes=7, vocab_size=19, embed_size=8, hidden_size=8,
+        num_res_blocks=1, num_res_block_channels=16, num_input_channels=12,
+        num_tail_channels=4, max_num_frames=6, max_q_len=9,
+        compute_dtype="float32")
+    spec = get_model("film_gp_pt")
+    key = jax.random.PRNGKey(0)
+    params, state = spec.init(key, cfg)
+    B, T = 3, 4
+    batch = {
+        "v_features": jax.random.normal(key, (B, T, 10, 13, cfg.num_input_channels)),
+        "question": jax.random.randint(key, (B, cfg.max_q_len), 1, cfg.vocab_size),
+        "v_len": jnp.array([4, 2, 3]),
+        "q_len": jnp.array([9, 4, 6]),
+    }
+    ref, _ = spec.apply(params, state, batch, cfg, train=False,
+                        rng=jax.random.PRNGKey(1))
+    mod, name, orig = _force_interpret(
+        "videonavqa_tpu.kernels.film_reencode_pallas", "film_reencode_pallas")
+    try:
+        cfg2 = ModelConfig(**{**cfg.__dict__, "use_pallas_kernels": True})
+        got, _ = spec.apply(params, state, batch, cfg2, train=False,
+                            rng=jax.random.PRNGKey(1))
+    finally:
+        setattr(mod, name, orig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_lstm_pallas_wiring_matches_models():
+    """Models that route ops.lstm through the fused kernel when serving
+    (q_only_lstm's randn-h0 encode, tmh's precomputed_xw per-frame re-encode,
+    mac's bilstm + tail) must reproduce the scan path's logits."""
+    import videonavqa_tpu.kernels.lstm_pallas  # noqa: F401
+
+    key = jax.random.PRNGKey(3)
+    mod, name, orig = _force_interpret(
+        "videonavqa_tpu.kernels.lstm_pallas", "lstm_pallas")
+    try:
+        for model, extra in (
+                ("lstm", {}),
+                ("time_multi_hop", dict(num_res_blocks=2,
+                                        num_res_block_channels=16,
+                                        num_input_channels=12,
+                                        num_tail_channels=4)),
+                ("mac", dict(mac_dim=8, mac_max_step=2, num_input_channels=12)),
+        ):
+            cfg = ModelConfig(num_classes=7, vocab_size=19, embed_size=8,
+                              hidden_size=8, max_num_frames=6, max_q_len=9,
+                              compute_dtype="float32", **extra)
+            spec = get_model(model)
+            params, state = spec.init(key, cfg)
+            B, T = 3, 4
+            batch = {
+                "question": jax.random.randint(key, (B, cfg.max_q_len), 1,
+                                               cfg.vocab_size),
+                "q_len": jnp.array([9, 4, 6]),
+            }
+            if spec.needs_video or model != "lstm":
+                batch["v_features"] = jax.random.normal(
+                    key, (B, T, 10, 13, cfg.num_input_channels))
+                batch["v_len"] = jnp.array([4, 2, 3])
+            ref, _ = spec.apply(params, state, batch, cfg, train=False,
+                                rng=jax.random.PRNGKey(1))
+            cfg2 = ModelConfig(**{**cfg.__dict__, "use_pallas_kernels": True})
+            got, _ = spec.apply(params, state, batch, cfg2, train=False,
+                                rng=jax.random.PRNGKey(1))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4, err_msg=model)
+    finally:
+        setattr(mod, name, orig)

@@ -135,6 +135,14 @@ def build_q_and_v_parser():
                         help="storage dtype for --feature_cache (fp8 halves "
                              "cache disk + transfer; 0.32%% logit drift at "
                              "the flagship config, scripts/fp8_cache_parity.py)")
+    parser.add_argument("--use_pallas_kernels", type=lambda s: s.lower() == "true",
+                        default=None,
+                        help="fused serving kernels on eval/test inference "
+                             "paths (film re-encode, attn tail, masked LSTM; "
+                             "kernels/). TPU only; 2.0x batch-1 serving, "
+                             "+4%% batch-32 (PERF.md). Training steps are "
+                             "unaffected (no custom VJP). Default off here; "
+                             "cli.predict auto-enables on TPU")
     return parser
 
 
@@ -154,6 +162,7 @@ def cfg_from_args(args, model_name):
         mac_dim=getattr(args, "mac_dim", 512),
         mac_max_step=getattr(args, "mac_max_step", 12),
         compute_dtype=args.compute_dtype,
+        use_pallas_kernels=bool(getattr(args, "use_pallas_kernels", None)),
     )
 
 

@@ -36,8 +36,9 @@ def main(argv=None):
     parser.add_argument("--video", type=str, required=True,
                         help="path to an .mp4/.npy video (extension optional)")
     parser.add_argument("--question", type=str, required=True)
-    parser.add_argument("--use_pallas_kernels", type=lambda s: s.lower() == "true",
-                        default=False)
+    # --use_pallas_kernels comes from the shared parser; here (single-example
+    # serving) None auto-resolves to ON for TPU backends — measured 2.0x
+    # batch-1 serving on v5e (PERF.md); OFF elsewhere (no CPU lowering).
     args = parser.parse_args(argv)
     if not args.model:
         raise SystemExit("--model is required")
@@ -67,7 +68,10 @@ def main(argv=None):
     frames, v_len = subsample_frames(raw, np.random.RandomState(args.seed))
 
     cfg = cfg_from_args(args, args.model)
-    if args.use_pallas_kernels:
+    use_pallas = args.use_pallas_kernels
+    if use_pallas is None:  # serving default: on for TPU backends only
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, use_pallas_kernels=True)

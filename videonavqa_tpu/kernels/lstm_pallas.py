@@ -51,8 +51,12 @@ def _lstm_kernel(xw_ref, w_hh_ref, b_hh_ref, lens_ref, h0_ref, c0_ref,
     cf_ref[:, :] = c
 
 
-def lstm_pallas(params, x, lens, h0=None, c0=None, *, interpret=False):
-    """Drop-in for ops.lstm: x [B, T, E] -> (outs [B, T, H], (h_f, c_f))."""
+def lstm_pallas(params, x, lens, h0=None, c0=None, *, precomputed_xw=None,
+                interpret=False):
+    """Drop-in for ops.lstm: x [B, T, E] -> (outs [B, T, H], (h_f, c_f)).
+
+    ``precomputed_xw`` ([B, T, 4H]) hoists the input projection for callers
+    that re-scan the same sequence (ops.lstm has the same escape hatch)."""
     B, T, _ = x.shape
     H = params["w_hh"].shape[1]
     if h0 is None:
@@ -60,7 +64,8 @@ def lstm_pallas(params, x, lens, h0=None, c0=None, *, interpret=False):
     if c0 is None:
         c0 = jnp.zeros((B, H), jnp.float32)
 
-    xw = _linear({"weight": params["w_ih"], "bias": params["b_ih"]}, x)
+    xw = precomputed_xw if precomputed_xw is not None else _linear(
+        {"weight": params["w_ih"], "bias": params["b_ih"]}, x)
     xw_t = jnp.moveaxis(xw, 1, 0).astype(jnp.float32)  # [T, B, 4H]
 
     outs, hf, cf = pl.pallas_call(

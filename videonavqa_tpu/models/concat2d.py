@@ -58,11 +58,12 @@ def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
 
     feats, new_state["trunk"] = frame_trunk(
         params["trunk"], state["trunk"], video, frame_mask, cfg, train=train)
-    v_outs, _ = lstm(params["v_lstm"], feats, v_lens)
+    serve_pallas = cfg.use_pallas_kernels and not train
+    v_outs, _ = lstm(params["v_lstm"], feats, v_lens, use_pallas=serve_pallas)
     v_final = last_valid(v_outs, v_lens)
 
     emb = embedding(params["embed"], q, padding_idx=None)
-    q_outs, _ = lstm(params["q_lstm"], emb, q_lens)
+    q_outs, _ = lstm(params["q_lstm"], emb, q_lens, use_pallas=serve_pallas)
     q_final = last_valid(q_outs, q_lens)
 
     out = jnp.concatenate([v_final, q_final], axis=1)

@@ -34,7 +34,8 @@ def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
     h, new_state = c3d_trunk(params, state, normalize_video(batch["video"]), cfg, train=train)
 
     emb = embedding(params["embed"], batch["question"], padding_idx=None)
-    q_outs, _ = lstm(params["q_lstm"], emb, batch["q_len"])
+    q_outs, _ = lstm(params["q_lstm"], emb, batch["q_len"],
+                     use_pallas=cfg.use_pallas_kernels and not train)
     q_final = last_valid(q_outs, batch["q_len"])
 
     out = jnp.concatenate([h, q_final], axis=1)

@@ -107,29 +107,42 @@ def init_film_generator(key, cfg, total_out):
     return params
 
 
-def film_values_over_frames(params, q, q_lens, num_frames, cfg, *, padding_idx):
+def film_values_over_frames(params, q, q_lens, num_frames, cfg, *, padding_idx,
+                            use_pallas=False):
     """FiLM (gamma, beta) per frame: [B, T, total_out].
 
     LSTM encoder: one question re-encode per frame with carried (h, c) —
     the film_hidden drift (models/film_attn_pt_stem.py:154-171). BoW encoder:
     Linear per token -> sum over all 56 positions (bias included per position;
     the intended mean division is discarded, :173-177) — constant over frames.
+
+    ``use_pallas`` (serving only) fuses the whole num_frames * q_len double
+    recurrence into one kernel (kernels/film_reencode_pallas.py).
     """
     B = q.shape[0]
     emb = embedding(params["embed"], q, padding_idx=padding_idx)
     if cfg.q_encoder == "lstm":
-        h0 = jnp.zeros((B, cfg.hidden_size), emb.dtype)
-        # the token projection is identical for all 35 re-encodes — hoist it
-        xw = linear({"weight": params["encoder"]["w_ih"],
-                     "bias": params["encoder"]["b_ih"]}, emb)
+        if use_pallas:
+            from videonavqa_tpu.kernels.film_reencode_pallas import (
+                film_reencode_pallas,
+            )
 
-        def frame_step(carry, _):
-            outs, carry = lstm(params["encoder"], emb, q_lens, *carry,
-                               precomputed_xw=xw)
-            return carry, last_valid(outs, q_lens)
+            enc = film_reencode_pallas(params["encoder"], emb, q_lens,
+                                       num_frames)  # [B,T,H]
+        else:
+            h0 = jnp.zeros((B, cfg.hidden_size), emb.dtype)
+            # the token projection is identical for all 35 re-encodes — hoist
+            xw = linear({"weight": params["encoder"]["w_ih"],
+                         "bias": params["encoder"]["b_ih"]}, emb)
 
-        _, finals = jax.lax.scan(frame_step, (h0, h0), None, length=num_frames)
-        enc = jnp.moveaxis(finals, 0, 1)  # [B,T,H]
+            def frame_step(carry, _):
+                outs, carry = lstm(params["encoder"], emb, q_lens, *carry,
+                                   precomputed_xw=xw)
+                return carry, last_valid(outs, q_lens)
+
+            _, finals = jax.lax.scan(frame_step, (h0, h0), None,
+                                     length=num_frames)
+            enc = jnp.moveaxis(finals, 0, 1)  # [B,T,H]
     else:
         enc = jnp.sum(linear(params["encoder"], emb), axis=1)  # [B,H]
         enc = jnp.broadcast_to(enc[:, None, :], (B, num_frames, enc.shape[-1]))
@@ -166,7 +179,8 @@ def apply_film_gp(params, state, batch, cfg, *, train=False, rng=None):
     B, T = feats.shape[:2]
     frame_mask = length_mask(v_lens, T)
 
-    films = film_values_over_frames(params, q, q_lens, T, cfg, padding_idx=0)
+    films = film_values_over_frames(params, q, q_lens, T, cfg, padding_idx=0,
+                                    use_pallas=cfg.use_pallas_kernels and not train)
     x, trunk_state = film_trunk(
         params["trunk"], state["trunk"], feats, films, frame_mask, cfg, train=train)
 
@@ -212,7 +226,8 @@ def apply_film_attn(params, state, batch, cfg, *, train=False, rng=None):
     frame_mask = length_mask(v_lens, T)
 
     # film_attn's embedding has NO padding_idx (models/film_attn_pt_stem.py:37).
-    films = film_values_over_frames(params, q, q_lens, T, cfg, padding_idx=None)
+    films = film_values_over_frames(params, q, q_lens, T, cfg, padding_idx=None,
+                                    use_pallas=cfg.use_pallas_kernels and not train)
     x, trunk_state = film_trunk(
         params["trunk"], state["trunk"], feats, films, frame_mask, cfg, train=train)
 

@@ -186,7 +186,9 @@ def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
 
     # Question pipeline (models/mac.py:205-220)
     emb = embedding(params["embed"], q, padding_idx=None)
-    lstm_out, h = bilstm(params["lstm_fwd"], params["lstm_bwd"], emb, q_lens)
+    serve_pallas = cfg.use_pallas_kernels and not train
+    lstm_out, h = bilstm(params["lstm_fwd"], params["lstm_bwd"], emb, q_lens,
+                         use_pallas=serve_pallas)
     context = linear(params["lstm_proj"], lstm_out)  # [B,Tq,dim]; pads -> bias rows
     word_mask = jnp.where(jnp.arange(q.shape[1])[None, :] < jnp.max(q_lens), 0.0, -jnp.inf)
 
@@ -206,7 +208,8 @@ def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
     outs = jnp.concatenate([memory, rep(h)], axis=1).reshape(B, T, 3 * dim)
     outs = mask_invalid(outs, v_lens)
 
-    tail, _ = lstm(params["lstm_tail"], outs, v_lens)
+    tail, _ = lstm(params["lstm_tail"], outs, v_lens,
+                   use_pallas=serve_pallas)
     final = last_valid(tail, v_lens)
     out = jax.nn.elu(linear(params["classifier0"], final))
     return linear(params["classifier2"], out), state

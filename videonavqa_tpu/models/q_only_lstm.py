@@ -44,7 +44,8 @@ def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
     c0 = jax.random.normal(k_c, (B, cfg.hidden_size))
 
     emb = embedding(params["embed"], batch["question"], padding_idx=0)
-    outs, _ = lstm(params["lstm"], emb, batch["q_len"], h0, c0)
+    outs, _ = lstm(params["lstm"], emb, batch["q_len"], h0, c0,
+                   use_pallas=cfg.use_pallas_kernels and not train)
     final = last_valid(outs, batch["q_len"])
     return linear(params["out_linear"], final), state
 

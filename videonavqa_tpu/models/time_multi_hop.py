@@ -60,7 +60,8 @@ def init_fn(key, cfg):
     return params, {"trunk": trunk_state}
 
 
-def _film_values_all_frames(params, q, q_lens, num_frames, cfg):
+def _film_values_all_frames(params, q, q_lens, num_frames, cfg,
+                            use_pallas=False):
     """[B, T, N_blocks, total_out] of per-frame, per-block FiLM values."""
     B = q.shape[0]
     emb = embedding(params["embed"], q, padding_idx=0)
@@ -73,7 +74,8 @@ def _film_values_all_frames(params, q, q_lens, num_frames, cfg):
 
     def frame_step(carry, _):
         rnn_states, carry = lstm(params["q_encoder"], emb, q_lens, *carry,
-                                 precomputed_xw=xw)  # [B,Tq,H]
+                                 precomputed_xw=xw,
+                                 use_pallas=use_pallas)  # [B,Tq,H]
         encoded = layer_norm(params["encoder_norm"], last_valid(rnn_states, q_lens))
 
         h = encoded  # context vector, re-initialized per frame (:157)
@@ -98,7 +100,9 @@ def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
     ch = cfg.num_res_block_channels
     frame_mask = length_mask(v_lens, T)
 
-    films = _film_values_all_frames(params, q, q_lens, T, cfg)  # [B,T,N,out]
+    films = _film_values_all_frames(
+        params, q, q_lens, T, cfg,
+        use_pallas=cfg.use_pallas_kernels and not train)  # [B,T,N,out]
     # Block k consumes its own decode's slice [2kC : 2(k+1)C]
     # (models/time_multi_hop_pt_stem.py:227-230); repack into the flat
     # [B,T,2*C*N] layout film_trunk slices with the same arithmetic.

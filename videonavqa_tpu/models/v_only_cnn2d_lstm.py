@@ -85,7 +85,8 @@ def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
 
     feats, new_state["trunk"] = frame_trunk(
         params["trunk"], state["trunk"], video, frame_mask, cfg, train=train)
-    outs, _ = lstm(params["lstm"], feats, v_lens)
+    outs, _ = lstm(params["lstm"], feats, v_lens,
+                   use_pallas=cfg.use_pallas_kernels and not train)
     final = last_valid(outs, v_lens)
     return linear(params["out_linear"], final), new_state
 

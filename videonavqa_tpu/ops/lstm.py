@@ -36,7 +36,8 @@ def lstm_cell(params, x, h, c):
     return h_new, c_new
 
 
-def lstm(params, x, lens, h0=None, c0=None, *, precomputed_xw=None):
+def lstm(params, x, lens, h0=None, c0=None, *, precomputed_xw=None,
+         use_pallas=False):
     """Masked LSTM over x: [B, T, E] with per-example lengths [B].
 
     Returns (outputs [B, T, H] zero-padded beyond lens, (h_final, c_final)) with
@@ -45,7 +46,16 @@ def lstm(params, x, lens, h0=None, c0=None, *, precomputed_xw=None):
 
     ``precomputed_xw`` ([B, T, 4H] = x @ W_ih^T + b_ih) lets callers that scan
     the same sequence repeatedly (the FiLM frame loop) hoist the projection.
+
+    ``use_pallas`` routes to the fused VMEM-resident kernel
+    (kernels/lstm_pallas.py) — serving only; it has no custom VJP, so models
+    gate it on ``cfg.use_pallas_kernels and not train``.
     """
+    if use_pallas:
+        from videonavqa_tpu.kernels.lstm_pallas import lstm_pallas
+
+        return lstm_pallas(params, x, lens, h0, c0,
+                           precomputed_xw=precomputed_xw)
     B, T, _ = x.shape
     H = params["w_hh"].shape[1]
     if h0 is None:
@@ -93,13 +103,14 @@ def reverse_padded(x, lens):
     return jnp.take_along_axis(x, idx.reshape(B, T, *([1] * (x.ndim - 2))), axis=1)
 
 
-def bilstm(fwd_params, bwd_params, x, lens):
+def bilstm(fwd_params, bwd_params, x, lens, *, use_pallas=False):
     """Bidirectional masked LSTM (torch nn.LSTM(bidirectional=True) over packed input).
 
     Returns (outputs [B, T, 2H] zero-padded beyond lens, h_n [B, 2H]).
     """
-    out_f, (h_f, _) = lstm(fwd_params, x, lens)
-    out_b_rev, (h_b, _) = lstm(bwd_params, reverse_padded(x, lens), lens)
+    out_f, (h_f, _) = lstm(fwd_params, x, lens, use_pallas=use_pallas)
+    out_b_rev, (h_b, _) = lstm(bwd_params, reverse_padded(x, lens), lens,
+                               use_pallas=use_pallas)
     out_b = reverse_padded(out_b_rev, lens)
     mask = (jnp.arange(x.shape[1])[None, :] < lens[:, None])[..., None]
     out_b = jnp.where(mask, out_b, 0.0)
