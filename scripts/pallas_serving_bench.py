@@ -30,6 +30,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--feature_cache", action="store_true",
                     help="trunk-only serving from cached features (no stem)")
+    ap.add_argument("--int8_trunk", action="store_true",
+                    help="compare int8-trunk serving (with pallas kernels on "
+                         "both sides) instead of pallas-vs-scan")
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
 
@@ -62,8 +65,12 @@ def main():
                  "v_len": jnp.full((B,), T, jnp.int32),
                  "q_len": jnp.full((B,), 12, jnp.int32),
                  "label": jax.random.randint(key, (B,), 0, base.num_classes)}
-        for pallas in (False, True):
-            cfg = dataclasses.replace(base, use_pallas_kernels=pallas)
+        for flag in (False, True):
+            if args.int8_trunk:
+                cfg = dataclasses.replace(base, use_pallas_kernels=True,
+                                          use_int8_trunk=flag)
+            else:
+                cfg = dataclasses.replace(base, use_pallas_kernels=flag)
             step = make_eval_step(spec, cfg, reduction="sum", stem_fn=stem_fn)
             rng = jax.random.PRNGKey(1)
             t0 = time.time()
@@ -76,14 +83,16 @@ def main():
                 m = step(params, state, batch, rng)
             float(jax.device_get(m["loss"]))
             dt = (time.time() - t0) / args.iters
-            results[(B, pallas)] = dt
-            print(f"B={B:2d} pallas={int(pallas)} {dt * 1e3:8.2f} ms/step "
+            results[(B, flag)] = dt
+            label = "int8" if args.int8_trunk else "pallas"
+            print(f"B={B:2d} {label}={int(flag)} {dt * 1e3:8.2f} ms/step "
                   f"({B / dt:8.1f} videos/s)  [compile {compile_s:.0f}s]",
                   flush=True)
 
+    label = "int8_trunk" if args.int8_trunk else "pallas"
     for B in (32, 1):
         base_t, pal_t = results[(B, False)], results[(B, True)]
-        print(f"B={B:2d}: pallas speedup x{base_t / pal_t:.3f} "
+        print(f"B={B:2d}: {label} speedup x{base_t / pal_t:.3f} "
               f"({(base_t - pal_t) * 1e3:+.2f} ms/step)", flush=True)
 
 

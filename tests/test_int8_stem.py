@@ -104,3 +104,40 @@ def test_int8_stem_dp_eval_matches_single_device():
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(m1["preds"]), np.asarray(m2["preds"]))
+
+
+def test_int8_trunk_close_to_f32():
+    """use_int8_trunk (serving): FiLM-family logits stay close to the f32
+    trunk (dynamic per-tensor act scales + per-channel weights compound over
+    2N+1 convs), and training is entirely unaffected by the flag."""
+    from videonavqa_tpu.models import ModelConfig, get_model
+
+    key = jax.random.PRNGKey(0)
+    cfg = ModelConfig(model="film_gp_pt", num_res_blocks=2,
+                      num_res_block_channels=16, num_input_channels=12,
+                      num_tail_channels=4, embed_size=8, hidden_size=8,
+                      max_num_frames=5, max_q_len=9, compute_dtype="float32")
+    spec = get_model("film_gp_pt")
+    params, state = spec.init(key, cfg)
+    B, T = 3, 4
+    batch = {
+        "v_features": jax.random.normal(key, (B, T, 10, 13, 12)),
+        "question": jax.random.randint(key, (B, 9), 1, cfg.vocab_size),
+        "v_len": jnp.array([4, 2, 3]),
+        "q_len": jnp.array([9, 4, 6]),
+    }
+    ref, _ = spec.apply(params, state, batch, cfg, train=False,
+                        rng=jax.random.PRNGKey(1))
+    cfg8 = ModelConfig(**{**cfg.__dict__, "use_int8_trunk": True})
+    got, _ = spec.apply(params, state, batch, cfg8, train=False,
+                        rng=jax.random.PRNGKey(1))
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.1, rel
+    assert bool(jnp.all(jnp.isfinite(got)))
+
+    # train=True ignores the flag: bit-identical to the f32 train path
+    r1, _ = spec.apply(params, state, batch, cfg, train=True,
+                       rng=jax.random.PRNGKey(1))
+    r2, _ = spec.apply(params, state, batch, cfg8, train=True,
+                       rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))

@@ -143,6 +143,13 @@ def build_q_and_v_parser():
                              "+4%% batch-32 (PERF.md). Training steps are "
                              "unaffected (no custom VJP). Default off here; "
                              "cli.predict auto-enables on TPU")
+    parser.add_argument("--int8_trunk", type=lambda s: s.lower() == "true",
+                        default=False,
+                        help="run FiLM trunk convs int8 on inference paths "
+                             "(dynamic activation scales; 1.78x per conv on "
+                             "v5e, PERF.md). Opt-in: introduces small logit "
+                             "drift, validate task accuracy before "
+                             "paper-comparable runs")
     return parser
 
 
@@ -163,6 +170,7 @@ def cfg_from_args(args, model_name):
         mac_max_step=getattr(args, "mac_max_step", 12),
         compute_dtype=args.compute_dtype,
         use_pallas_kernels=bool(getattr(args, "use_pallas_kernels", None)),
+        use_int8_trunk=bool(getattr(args, "int8_trunk", False)),
     )
 
 

@@ -55,6 +55,10 @@ class ModelConfig:
     # Use the fused Pallas recurrence kernels on the inference path (the
     # training path always uses XLA scans for autodiff).
     use_pallas_kernels: bool = False
+    # Run the FiLM trunk convs int8 on the inference path (dynamic per-tensor
+    # activation scales, per-out-channel weights — ops/quant.py). 1.78x per
+    # conv on v5e; small logit drift, so opt-in for paper-comparable numbers.
+    use_int8_trunk: bool = False
     # Rematerialize FiLM residual blocks in the backward pass (jax.checkpoint):
     # trades ~25% extra trunk FLOPs for ~NxC activation memory, unlocking
     # batch 64+ at the eval.sh preset on a 16GB v5e.

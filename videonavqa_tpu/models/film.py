@@ -60,13 +60,26 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
 
     The residual FiLM blocks run over the folded frame batch; gamma/beta are
     sliced per block exactly as the reference advances start_idx
-    (models/film_global_pooling_pt_stem.py:200-226)."""
+    (models/film_global_pooling_pt_stem.py:200-226).
+
+    Serving (``cfg.use_int8_trunk and not train``): the trunk convs — the
+    roofline-dominant FLOPs of every FiLM-family step — run int8 with dynamic
+    per-tensor activation scales (ops/quant.py; 1.78x per conv on v5e).
+    BN / FiLM affines / ReLU stay f32."""
     B, T = feats.shape[:2]
     ch = cfg.num_res_block_channels
     dtype = jnp.dtype(cfg.compute_dtype)
     new_state = dict(state)
 
-    x = conv2d(params["conv_init"], feats.reshape(B * T, *feats.shape[2:]), dtype=dtype)
+    int8 = getattr(cfg, "use_int8_trunk", False) and not train
+    if int8:
+        from videonavqa_tpu.ops.quant import conv2d_int8_dynamic
+
+        conv = lambda p, x: conv2d_int8_dynamic(p, x)
+    else:
+        conv = lambda p, x: conv2d(p, x, dtype=dtype)
+
+    x = conv(params["conv_init"], feats.reshape(B * T, *feats.shape[2:]))
     x = jax.nn.relu(x)
     x = x.reshape(B, T, *x.shape[1:])
     x, new_state["bn_init"] = frame_batch_norm(
@@ -76,8 +89,8 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     fv = film_values.reshape(B * T, -1)
 
     def block(k, x, p1x1, p3x3, alphas, betas):
-        res = jax.nn.relu(conv2d(p1x1, x, dtype=dtype))
-        y = conv2d(p3x3, res, dtype=dtype)
+        res = jax.nn.relu(conv(p1x1, x))
+        y = conv(p3x3, res)
         y = jax.nn.relu(alphas[:, None, None, :] * y + betas[:, None, None, :])
         return y + res
 

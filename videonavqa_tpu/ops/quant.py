@@ -1,0 +1,55 @@
+"""Generic int8 conv quantization for serving paths.
+
+v5e's MXU runs int8 x int8 -> int32 at ~2x the bf16 rate; measured on-chip at
+FiLM-trunk shapes ([1120, 10, 13, 1024], 3x3x1024x1024 kernel): bf16 14.6 ms
+vs int8 incl. in-graph quantize/dequantize 8.2 ms (1.78x). Unlike the VGG
+stem (stem/quant.py), trunk activations are tiny (10x13 grids), so DYNAMIC
+per-tensor activation scaling costs almost nothing — no calibration pass or
+quantized-parameter side state is needed; ``conv2d_int8_dynamic`` is a pure
+drop-in for ops.conv.conv2d that quantizes both operands in-graph.
+
+Weights quantize per-output-channel symmetric (exact scales from the live
+weights each call — cheap next to the conv, and keeps trained params the
+single source of truth). Inference-only: no custom VJP, callers gate on
+``not train``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from videonavqa_tpu.ops.conv import _DN2D
+
+
+def quantize_weight_channelwise(w):
+    """HWIO kernel -> (int8 kernel, [Cout] scales), symmetric absmax."""
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.reshape(-1)
+
+
+def quantize_act_dynamic(x):
+    """f32/bf16 activations -> (int8, scalar scale), per-tensor absmax."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def conv2d_int8_dynamic(params, x, *, stride=(1, 1), padding="SAME"):
+    """Drop-in int8 conv2d: quantize weights (per-out-channel) and
+    activations (per-tensor, dynamic) in-graph, accumulate int32, dequantize,
+    add bias in f32. Returns f32."""
+    wq, sw = quantize_weight_channelwise(params["weight"])
+    xq, sx = quantize_act_dynamic(x)
+    acc = lax.conv_general_dilated(
+        xq, wq, window_strides=stride, padding=padding,
+        dimension_numbers=_DN2D, preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * sw)
+    b = params.get("bias")
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
