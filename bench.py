@@ -51,6 +51,10 @@ def main(argv=None):
                              "inference forward only")
     parser.add_argument("--use_pallas_kernels", type=lambda s: s.lower() == "true",
                         default=False)
+    parser.add_argument("--int8_trunk", type=lambda s: s.lower() == "true",
+                        default=False,
+                        help="int8 FiLM trunk convs on eval-mode steps "
+                             "(1.48x batch-32 serving on v5e, PERF.md)")
     parser.add_argument("--int8_stem", type=lambda s: s.lower() == "true", default=False)
     parser.add_argument("--feature_cache", type=lambda s: s.lower() == "true", default=False,
                         help="train/eval from precomputed frozen-stem features "
@@ -85,6 +89,7 @@ def main(argv=None):
                       num_res_block_channels=args.num_res_block_channels,
                       num_tail_channels=args.num_tail_channels,
                       use_pallas_kernels=args.use_pallas_kernels,
+                      use_int8_trunk=args.int8_trunk,
                       remat_film_blocks=args.remat)
     spec = get_model(cfg.model)
     key = jax.random.PRNGKey(0)

