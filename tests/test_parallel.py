@@ -270,3 +270,34 @@ def test_graft_entry_dryrun():
             break
     assert r.returncode == 0, f"rc={r.returncode}\n" + (r.stdout + r.stderr)[-2000:]
     assert "dryrun_multichip(8)" in r.stdout
+
+
+def test_int8_trunk_dp_eval_matches_single_device():
+    """use_int8_trunk under DP sharding: the dynamic per-tensor absmax is a
+    global (cross-device) reduce, so the sharded step must reproduce the
+    single-device int8 numerics exactly."""
+    import dataclasses as dc
+
+    from videonavqa_tpu.train.step import make_eval_step
+
+    cfg = dc.replace(CFG, use_int8_trunk=True)
+    mesh = make_mesh(8, model_parallel=1)
+    spec = get_model(cfg.model)
+    params, state = spec.init(jax.random.PRNGKey(0), cfg)
+    eval_step = make_eval_step(spec, cfg, reduction="sum")
+    batch = _batch(jax.random.PRNGKey(21), B=16, ragged=True)
+    rng = jax.random.PRNGKey(23)
+
+    m1 = eval_step(params, state, batch, rng)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    paramsS = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+    stateS = jax.device_put(state, jax.tree.map(lambda _: rep, state))
+    bspec = batch_sharding(mesh)
+    batchS = {k: jax.device_put(v, bspec(v)) for k, v in batch.items()}
+    with mesh:
+        m2 = eval_step(paramsS, stateS, batchS, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m1["preds"]), np.asarray(m2["preds"]))
