@@ -24,7 +24,6 @@ PERF.md); --int8_trunk is opt-in (1.48x at batch serving).
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
 import queue
