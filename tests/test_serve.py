@@ -98,6 +98,18 @@ def test_concurrent_requests_micro_batch(served):
         assert 0.0 < sum(probs) <= 1.0 + 1e-5
 
 
+def test_stats_reflect_batching(served):
+    """/stats counts the work and shows micro-batching (avg_batch > 1 after
+    the concurrent test, which posts 3 requests into a 150 ms window)."""
+    _, port, _, _ = served
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats",
+                                timeout=60) as r:
+        s = json.loads(r.read())
+    assert s["requests"] >= 3 and s["batches"] >= 1
+    assert s["requests"] > s["batches"]  # at least one multi-request batch
+    assert s["avg_forward_ms"] > 0
+
+
 def test_bad_requests(served):
     _, port, names, questions = served
     status, body = _post(port, {"video": names[0],

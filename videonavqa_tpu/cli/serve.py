@@ -17,6 +17,8 @@ batch-1 latency. Pads the batch with zero rows; shapes are pinned to
                      "question": "Is there a blue table in the kitchen?"}
       -> {"answer": str, "top": [[answer, prob] x5]}
     GET  /healthz   -> {"ok": true, "pending": n}
+    GET  /stats     -> {"requests", "batches", "errors", "avg_batch",
+                        "avg_forward_ms", ...}
 
 Serving kernels: --use_pallas_kernels auto-enables on TPU (2.0x batch-1,
 PERF.md); --int8_trunk is opt-in (1.48x at batch serving).
@@ -137,6 +139,9 @@ class MicroBatcher:
         self.engine = engine
         self.wait_s = batch_wait_ms / 1e3
         self.q = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "forward_s": 0.0}
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -164,15 +169,24 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             items = [b[0] for b in batch]
+            import time as _time
+
+            t0 = _time.time()
             try:
                 probs = self.engine.run_batch(items)
                 for i, (_, slot, done) in enumerate(batch):
                     slot["probs"] = probs[i]
                     done.set()
+                with self._lock:
+                    self.stats["requests"] += len(batch)
+                    self.stats["batches"] += 1
+                    self.stats["forward_s"] += _time.time() - t0
             except Exception as e:  # surface to every waiter
                 for _, slot, done in batch:
                     slot["error"] = e
                     done.set()
+                with self._lock:
+                    self.stats["errors"] += len(batch)
 
 
 def make_handler(engine, batcher):
@@ -190,6 +204,14 @@ def make_handler(engine, batcher):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True, "pending": batcher.pending()})
+            elif self.path == "/stats":
+                with batcher._lock:
+                    s = dict(batcher.stats)
+                s["avg_batch"] = (s["requests"] / s["batches"]
+                                  if s["batches"] else 0.0)
+                s["avg_forward_ms"] = (s["forward_s"] / s["batches"] * 1e3
+                                       if s["batches"] else 0.0)
+                self._send(200, s)
             else:
                 self._send(404, {"error": "unknown path"})
 
