@@ -118,3 +118,84 @@ def test_bad_requests(served):
     status, body = _post(port, {"video": "no_such_video",
                                 "question": questions[names[0]]["q_text"]})
     assert status == 400
+
+
+@pytest.fixture(scope="module")
+def served_cached(served):
+    """A second server over the SAME dataset/checkpoint in --feature_cache
+    production mode: precomputed frozen-stem features, no video decode, no
+    stem in the forward."""
+    from videonavqa_tpu.cli import extract_features, serve
+    from videonavqa_tpu.cli.common import load_stem
+    from videonavqa_tpu.data import DataPaths, load_json
+    from videonavqa_tpu.data.vnr import ensure_built
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    base, _, _, questions = served
+    ckpt = epoch_path(os.path.join(base, "serve_ckpt.npz"), 0)
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=0)
+    parser.add_argument("--max_batch", type=int, default=4)
+    parser.add_argument("--batch_wait_ms", type=float, default=50.0)
+    parser.add_argument("--serve_split", type=str, default="test")
+    common = ["--model", "film_gp_pt", "--data_dir", base,
+              "--batch_size", "2", "--num_res_blocks", "1",
+              "--num_res_block_channels", "16", "--num_input_channels", "512",
+              "--num_tail_channels", "4", "--embed_size", "8",
+              "--hidden_size", "8", "--compute_dtype", "float32",
+              "--checkpoint_path", ckpt, "--use_pallas_kernels", "false",
+              "--feature_cache", "true"]
+    ns = parser.parse_args(common)
+
+    paths = DataPaths(base)
+    split_map = load_json(paths.split_file)
+    ensure_built()
+    extract_features.extract_split(ns, load_stem(ns, paths), "test",
+                                   split_map["test"])
+
+    engine, batcher, server = serve.build_server(ns)
+    assert engine.stem_fn is None and engine.feature_loader is not None
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield base, server.server_address[1], sorted(split_map["test"]), \
+        questions, parser, common
+    server.shutdown()
+
+
+def test_cached_serving_by_example_id(served_cached):
+    """Production mode answers by packed-example id through the stored
+    feature planes — answers are real vocab strings with sane probs."""
+    from videonavqa_tpu.datagen.ontology import ANSWER_VOCAB
+
+    _, port, test_ids, questions, _, _ = served_cached
+    name = test_ids[0]
+    status, body = _post(port, {"example": name,
+                                "question": questions[name]["q_text"]})
+    assert status == 200, body
+    assert body["answer"] in ANSWER_VOCAB
+    probs = [p for _, p in body["top"]]
+    assert probs == sorted(probs, reverse=True)
+    assert 0.0 < sum(probs) <= 1.0 + 1e-5
+
+
+def test_cached_serving_mode_routing(served_cached):
+    """Cached servers reject "video" requests (and unknown example ids) with
+    a pointed error instead of decoding anything."""
+    _, port, test_ids, questions, _, _ = served_cached
+    q = questions[test_ids[0]]["q_text"]
+    status, body = _post(port, {"video": test_ids[0], "question": q})
+    assert status == 400 and "example" in body["error"]
+    status, body = _post(port, {"example": "no_such_example", "question": q})
+    assert status == 400 and "unknown example" in body["error"]
+
+
+def test_cached_serving_refuses_stale_stem(served_cached):
+    """Startup fails loudly when the cache's recorded stem fingerprint does
+    not match the serving args (here: a different --compute_dtype)."""
+    from videonavqa_tpu.cli import serve
+
+    _, _, _, _, parser, common = served_cached
+    stale = [a if a != "float32" else "bfloat16" for a in common]
+    with pytest.raises(SystemExit, match="different\\s+stem"):
+        serve.build_server(parser.parse_args(stale))

@@ -22,6 +22,14 @@ batch-1 latency. Pads the batch with zero rows; shapes are pinned to
 
 Serving kernels: --use_pallas_kernels auto-enables on TPU (2.0x batch-1,
 PERF.md); --int8_trunk is opt-in (1.48x at batch serving).
+
+Production mode — ``--feature_cache true``: serves PRECOMPUTED frozen-stem
+features (the deployment shape behind the 739 videos/s serving bench): the
+daemon opens ``features_<split>.fnr`` via the native loader (refusing a
+stale stem fingerprint at startup), skips video decode and the stem
+entirely, and requests address packed examples by id:
+
+    POST /predict   {"example": "<example id>", "question": "..."}
 """
 
 from __future__ import annotations
@@ -70,20 +78,63 @@ class InferenceEngine:
             args.checkpoint_path, params_template=params, state_template=state)
         self.params = params
         self.state = state_r if state_r is not None else state
-        self.stem_fn = load_stem(args, self.paths) if self.spec.uses_stem else None
         self.B = args.max_batch
         self.rng = np.random.RandomState(args.seed)
 
+        self.feature_loader = None
+        if getattr(args, "feature_cache", False):
+            # production mode: precomputed stem features by example id; the
+            # stem never loads and videos never decode
+            from videonavqa_tpu.cli.extract_features import (
+                feature_file, stem_fingerprint,
+            )
+            from videonavqa_tpu.data.vnr import (
+                VNRBatchLoader, ensure_built, read_fingerprint,
+            )
+
+            split = getattr(args, "serve_split", "test")
+            dtype = getattr(args, "feature_dtype", "bfloat16") or "bfloat16"
+            path = feature_file(args.data_dir, split, dtype)
+            if not os.path.exists(path):
+                raise SystemExit(
+                    f"--feature_cache serving requires {path} "
+                    f"(run cli.extract_features first)")
+            have, want = read_fingerprint(path), stem_fingerprint(args, self.paths)
+            if have != want:
+                raise SystemExit(
+                    f"feature cache {path} was extracted with a different "
+                    f"stem ({have.hex() if have else 'legacy v1'} != "
+                    f"{want.hex()}) — re-extract before serving")
+            ensure_built()
+            self.feature_loader = VNRBatchLoader(path, 1, shuffle=False,
+                                                 mode="test")
+            split_map = load_json(self.paths.split_file)
+            # feature-file order == sorted split ids (pack_dataset sorts)
+            self.id_to_idx = {n: i for i, n in
+                              enumerate(sorted(split_map[split]))}
+            self.frame_shape = self.feature_loader.frame_shape
+            self.frame_dtype = self.feature_loader.frame_dtype
+            self.stem_fn = None
+        else:
+            self.frame_shape = (C.VID_HEIGHT, C.VID_WIDTH, 3)
+            self.frame_dtype = np.dtype(np.uint8)
+            self.stem_fn = (load_stem(args, self.paths)
+                            if self.spec.uses_stem else None)
+
         cfg, spec, stem_fn = self.cfg, self.spec, self.stem_fn
+        cached = self.feature_loader is not None
 
         @jax.jit
-        def forward(params, state, video_u8, question, v_len, q_len):
+        def forward(params, state, visual, question, v_len, q_len):
             batch = {"question": question, "v_len": v_len, "q_len": q_len}
-            video = video_u8.astype(jnp.float32) / 255.0  # u8 transfer
-            if stem_fn is not None:
-                batch["v_features"] = stem_fn(video)
+            if cached:
+                batch["v_features"] = visual  # stored bf16/fp8 planes
             else:
-                batch["video"] = video
+                video = visual.astype(jnp.float32) / 255.0  # u8 transfer
+                if stem_fn is not None:
+                    batch["v_features"] = stem_fn(video)
+                else:
+                    batch["video"] = video
             logits, _ = spec.apply(params, state, batch, cfg, train=False,
                                    rng=jax.random.PRNGKey(0))
             return jax.nn.softmax(logits, axis=-1)
@@ -102,6 +153,9 @@ class InferenceEngine:
 
     def load_video(self, path):
         """Decode + subsample one video to [35, H, W, 3] u8 (zero-padded)."""
+        if self.feature_loader is not None:
+            raise ValueError('this server serves precomputed examples — '
+                             'POST {"example": "<id>", ...} instead of "video"')
         if not os.path.isabs(path):
             path = os.path.join(self.paths.videos_dir, path)
         for ext in (".mp4", ".npy"):
@@ -111,13 +165,36 @@ class InferenceEngine:
         frames, v_len = subsample_frames(raw, self.rng)
         return frames.astype(np.uint8), v_len
 
+    def load_example(self, name):
+        """Cached-features mode: 1-of-4 subsample of the stored feature
+        planes for one packed example (same pick semantics as the loaders,
+        eval/dataset.py:80-89, but dtype-preserving)."""
+        if self.feature_loader is None:
+            raise ValueError('this server decodes videos — '
+                             'POST {"video": "<path>", ...} instead of "example"')
+        if name not in self.id_to_idx:
+            raise ValueError(f"unknown example id {name!r}")
+        raw = self.feature_loader.example_frames(self.id_to_idx[name])
+        T = min(raw.shape[0],
+                C.DROP_EVERY_N_FRAMES * C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
+        out = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,) + raw.shape[1:],
+                       dtype=raw.dtype)
+        count = 0
+        for i in range(0, T, C.DROP_EVERY_N_FRAMES):
+            hi = min(i + C.DROP_EVERY_N_FRAMES, T) - 1
+            out[count] = raw[self.rng.randint(i, hi + 1)]
+            count += 1
+        return out, count
+
     def run_batch(self, items):
-        """items: list of (frames_u8 [35,H,W,3], v_len, tokens). Returns
-        [n, num_classes] probabilities (padding rows dropped)."""
+        """items: list of (frames [35, *frame_shape], v_len, tokens). Returns
+        [n, num_classes] probabilities (padding rows dropped). frame_shape /
+        dtype are [H,W,3] u8 pixels normally, [10,13,512] bf16/fp8 feature
+        planes under --feature_cache."""
         n = len(items)
         B = self.B
         video = np.zeros((B, C.MAX_ALLOWED_NUM_FRAMES_DROPPING,
-                          C.VID_HEIGHT, C.VID_WIDTH, 3), np.uint8)
+                          *self.frame_shape), self.frame_dtype)
         question = np.zeros((B, C.MAX_Q_LEN), np.int32)
         v_len = np.ones(B, np.int32)
         q_len = np.ones(B, np.int32)
@@ -223,7 +300,10 @@ def make_handler(engine, batcher):
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
                 tokens = engine.encode_question(req["question"])
-                frames, v_len = engine.load_video(req["video"])
+                if "example" in req:
+                    frames, v_len = engine.load_example(req["example"])
+                else:
+                    frames, v_len = engine.load_video(req["video"])
                 probs = batcher.submit(frames, v_len, tokens)
                 top = np.argsort(-probs)[:5]
                 self._send(200, {
@@ -260,6 +340,9 @@ def main(argv=None):
     parser.add_argument("--batch_wait_ms", type=float, default=5.0,
                         help="wait this long after the first request for "
                              "more before dispatching the batch")
+    parser.add_argument("--serve_split", type=str, default="test",
+                        help="with --feature_cache: which split's feature "
+                             "file to serve precomputed examples from")
     args = parser.parse_args(argv)
     if not args.model:
         raise SystemExit("--model is required")
