@@ -79,7 +79,9 @@ def main(argv=None):
     params, state = spec.init(jax.random.PRNGKey(args.seed), cfg)
     params, state_r, _, _ = ckpt.load_checkpoint(
         args.checkpoint_path, params_template=params, state_template=state)
-    state = state_r if state_r is not None else state
+    # load_checkpoint returns host numpy arrays; pin them on device once
+    params = jax.device_put(params)
+    state = jax.device_put(state_r if state_r is not None else state)
 
     batch = {
         "question": jnp.asarray(q)[None],

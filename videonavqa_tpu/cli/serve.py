@@ -76,8 +76,12 @@ class InferenceEngine:
         params, state = self.spec.init(jax.random.PRNGKey(args.seed), self.cfg)
         params, state_r, _, _ = ckpt.load_checkpoint(
             args.checkpoint_path, params_template=params, state_template=state)
-        self.params = params
-        self.state = state_r if state_r is not None else state
+        # pin restored weights on device: load_checkpoint returns HOST numpy
+        # arrays, and passing those to the jitted forward re-uploads every
+        # weight on every batch (measured 6s/batch at the flagship preset
+        # over the axon tunnel)
+        self.params = jax.device_put(params)
+        self.state = jax.device_put(state_r if state_r is not None else state)
         self.B = args.max_batch
         self.rng = np.random.RandomState(args.seed)
 
@@ -112,6 +116,15 @@ class InferenceEngine:
             # feature-file order == sorted split ids (pack_dataset sorts)
             self.id_to_idx = {n: i for i, n in
                               enumerate(sorted(split_map[split]))}
+            # LRU over decoded [T,10,13,512] planes: a full-example zstd
+            # decode is ~19 MB of work per request, so hot examples are
+            # served from memory (~19 MB/entry bf16; half that fp8)
+            import collections
+
+            self._example_cache = collections.OrderedDict()
+            self._example_cache_size = max(
+                0, getattr(args, "example_cache", 64))
+            self._decode_lock = threading.Lock()
             self.frame_shape = self.feature_loader.frame_shape
             self.frame_dtype = self.feature_loader.frame_dtype
             self.stem_fn = None
@@ -174,7 +187,17 @@ class InferenceEngine:
                              'POST {"video": "<path>", ...} instead of "example"')
         if name not in self.id_to_idx:
             raise ValueError(f"unknown example id {name!r}")
-        raw = self.feature_loader.example_frames(self.id_to_idx[name])
+        idx = self.id_to_idx[name]
+        with self._decode_lock:
+            if idx in self._example_cache:
+                self._example_cache.move_to_end(idx)
+                raw = self._example_cache[idx]
+            else:
+                raw = self.feature_loader.example_frames(idx)
+                if self._example_cache_size:
+                    self._example_cache[idx] = raw
+                    while len(self._example_cache) > self._example_cache_size:
+                        self._example_cache.popitem(last=False)
         T = min(raw.shape[0],
                 C.DROP_EVERY_N_FRAMES * C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
         out = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,) + raw.shape[1:],
@@ -324,10 +347,20 @@ def build_server(args):
     """(engine, batcher, ThreadingHTTPServer) — split out for tests."""
     from http.server import ThreadingHTTPServer
 
+    from videonavqa_tpu.cli.common import _maybe_enable_compile_cache
+
+    _maybe_enable_compile_cache(args)
+
+    class Server(ThreadingHTTPServer):
+        # stdlib default backlog is 5 — a burst of reconnecting clients
+        # (urllib opens a fresh connection per request) gets refused under
+        # load; deepen it to ride out micro-batch-sized bursts
+        request_queue_size = 128
+        daemon_threads = True
+
     engine = InferenceEngine(args)
     batcher = MicroBatcher(engine, batch_wait_ms=args.batch_wait_ms)
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(engine, batcher))
+    server = Server((args.host, args.port), make_handler(engine, batcher))
     return engine, batcher, server
 
 
@@ -343,6 +376,10 @@ def main(argv=None):
     parser.add_argument("--serve_split", type=str, default="test",
                         help="with --feature_cache: which split's feature "
                              "file to serve precomputed examples from")
+    parser.add_argument("--example_cache", type=int, default=64,
+                        help="with --feature_cache: LRU size (in examples) "
+                             "for decoded feature planes (~19 MB each bf16); "
+                             "0 disables")
     args = parser.parse_args(argv)
     if not args.model:
         raise SystemExit("--model is required")
