@@ -102,6 +102,10 @@ def main(argv=None):
     ap.add_argument("--clients", type=int, default=48)
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--max_batch", type=int, default=32)
+    ap.add_argument("--bucket_frames", type=lambda s: s.lower() == "true",
+                    default=False,
+                    help="length-bucketed micro-batches (one executable per "
+                         "frame bucket)")
     ap.add_argument("--feature_dtype", type=str, default="bfloat16",
                     choices=["bfloat16", "float8_e4m3"])
     ap.add_argument("--base", type=str,
@@ -113,17 +117,20 @@ def main(argv=None):
 
     ns, test_ids = provision(args.base, args.feature_dtype)
     ns.max_batch = args.max_batch
+    ns.bucket_frames = args.bucket_frames
     engine, batcher, server = serve.build_server(ns)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     port = server.server_address[1]
 
     t0 = time.time()
+    if engine.frame_buckets:
+        engine.warmup()  # precompile every bucket's executable
     post(port, {"example": test_ids[0], "question": BENCH_QUESTION},
          timeout=600)  # first request compiles the forward
     print(f"# warm request (incl. compile): {time.time() - t0:.1f}s",
           file=sys.stderr)
     for name in test_ids:  # fill the example LRU
-        post(port, {"example": name, "question": BENCH_QUESTION}, timeout=120)
+        post(port, {"example": name, "question": BENCH_QUESTION}, timeout=600)
 
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
         s0 = json.loads(r.read())

@@ -190,6 +190,145 @@ def test_cached_serving_mode_routing(served_cached):
     assert status == 400 and "unknown example" in body["error"]
 
 
+def test_bucketed_serving_exact(served):
+    """--bucket_frames serving trims the time axis per micro-batch and
+    produces the SAME probabilities as the full 35-frame shape (the loaders'
+    trimming-exactness guarantee extended to the daemon), while actually
+    running a trimmed executable."""
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    base, _, _, _ = served
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=4)
+    common = ["--model", "film_gp_pt", "--data_dir", base,
+              "--batch_size", "2", "--num_res_blocks", "1",
+              "--num_res_block_channels", "16", "--num_input_channels", "512",
+              "--num_tail_channels", "4", "--embed_size", "8",
+              "--hidden_size", "8", "--compute_dtype", "float32",
+              "--checkpoint_path",
+              epoch_path(os.path.join(base, "serve_ckpt.npz"), 0),
+              "--use_pallas_kernels", "false"]
+    plain = serve.InferenceEngine(parser.parse_args(common))
+    bucketed = serve.InferenceEngine(
+        parser.parse_args(common + ["--bucket_frames", "true"]))
+    assert plain.frame_buckets is None
+    assert bucketed.frame_buckets is not None
+
+    rng = np.random.RandomState(0)
+    items = []
+    for vl in (3, 5):  # both fit the smallest (8-frame) bucket
+        frames = np.zeros((35, *plain.frame_shape), plain.frame_dtype)
+        frames[:vl] = rng.randint(
+            0, 255, (vl, *plain.frame_shape)).astype(plain.frame_dtype)
+        items.append((frames, vl, [1, 2, 3]))
+    p_plain = plain.run_batch(items)
+    p_bucketed = bucketed.run_batch(items)
+    np.testing.assert_allclose(p_bucketed, p_plain, atol=1e-5)
+
+    # warmup precompiles every bucket shape without error
+    bucketed.warmup()
+
+
+def test_microbatcher_bucket_aware_dispatch():
+    """Dispatch policy, driven with a stub engine (no jax): a saturated
+    backlog dispatches the oldest request's bucket PURE when that bucket can
+    fill a batch; an underfull mix dispatches as ONE batch (splitting only
+    multiplies fixed per-forward costs); carried requests always complete."""
+    import time
+
+    from videonavqa_tpu.cli.serve import MicroBatcher
+
+    class StubEngine:
+        B = 4
+        frame_buckets = (8, 12, 16, 20, 24, 28, 32, 35)
+        batches = []
+
+        def bucket_for(self, v_len):
+            return min((t for t in self.frame_buckets if t >= max(v_len, 1)),
+                       default=35)
+
+        def run_batch(self, items):
+            time.sleep(0.2)  # let the queue build up behind this forward
+            self.batches.append([vl for _, vl, _ in items])
+            return np.zeros((len(items), 70))
+
+    engine = StubEngine()
+    mb = MicroBatcher(engine, batch_wait_ms=30.0)
+    # 9 short (bucket 8) + 2 long (bucket 16), shorts oldest. The backlog
+    # builds behind the slow forwards, so a later collection sees > B
+    # requests where the oldest's bucket fills a batch -> pure dispatch with
+    # the longs carried; the final underfull remainder dispatches mixed.
+    lens = [2, 3, 4, 5, 2, 3, 4, 5, 6, 15, 16]
+    threads = [threading.Thread(
+        target=lambda vl=vl: mb.submit(np.zeros((1, 1)), vl, [1]))
+        for vl in lens]
+    for t in threads:
+        t.start()
+        time.sleep(0.002)  # deterministic arrival order
+    for t in threads:
+        t.join()
+    assert sorted(sum(engine.batches, [])) == sorted(lens)  # all served
+    for b in engine.batches:
+        assert len(b) <= 4
+    first = engine.batches[0]
+    assert len(first) == 4 and all(vl <= 8 for vl in first)  # pure + full
+    assert mb.stats["requests"] == 11 and mb.stats["errors"] == 0
+    assert mb.stats["deferred"] >= 1  # the longs were carried at least once
+
+    # underfull mixed collection: one batch, no splitting
+    engine2 = StubEngine()
+    engine2.batches = []
+    mb2 = MicroBatcher(engine2, batch_wait_ms=60.0)
+    threads = [threading.Thread(
+        target=lambda vl=vl: mb2.submit(np.zeros((1, 1)), vl, [1]))
+        for vl in (2, 15)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert engine2.batches and sorted(engine2.batches[0]) == [2, 15]
+
+
+def test_mesh_sharded_serving_matches_single_device(served):
+    """--mesh_devices shards serving micro-batches over the 'data' axis with
+    the training harness's GSPMD placement; probabilities match the
+    single-device engine."""
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    base, _, _, _ = served
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=4)
+    common = ["--model", "film_gp_pt", "--data_dir", base,
+              "--batch_size", "2", "--num_res_blocks", "1",
+              "--num_res_block_channels", "16", "--num_input_channels", "512",
+              "--num_tail_channels", "4", "--embed_size", "8",
+              "--hidden_size", "8", "--compute_dtype", "float32",
+              "--checkpoint_path",
+              epoch_path(os.path.join(base, "serve_ckpt.npz"), 0),
+              "--use_pallas_kernels", "false"]
+    single = serve.InferenceEngine(parser.parse_args(common))
+    meshed = serve.InferenceEngine(
+        parser.parse_args(common + ["--mesh_devices", "4"]))
+    assert meshed.mesh is not None and meshed.mesh.shape["data"] == 4
+
+    rng = np.random.RandomState(1)
+    items = []
+    for vl in (2, 4, 3):
+        frames = np.zeros((35, *single.frame_shape), single.frame_dtype)
+        frames[:vl] = rng.randint(
+            0, 255, (vl, *single.frame_shape)).astype(single.frame_dtype)
+        items.append((frames, vl, [4, 5]))
+    np.testing.assert_allclose(meshed.run_batch(items),
+                               single.run_batch(items), atol=1e-5)
+
+    # max_batch must divide the data axis
+    with pytest.raises(SystemExit, match="must divide"):
+        serve.InferenceEngine(
+            parser.parse_args(common + ["--mesh_devices", "3"]))
+
+
 def test_cached_serving_refuses_stale_stem(served_cached):
     """Startup fails loudly when the cache's recorded stem fingerprint does
     not match the serving args (here: a different --compute_dtype)."""

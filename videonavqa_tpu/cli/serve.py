@@ -4,10 +4,13 @@ A production-serving surface the reference lacks entirely (its only
 inference path is the offline test harness, eval/q_and_v_test.py). Requests
 are MICRO-BATCHED: a collector thread gathers up to --max_batch requests (or
 whatever arrived within --batch_wait_ms of the first) and runs them through
-ONE fixed-shape jitted forward — so the server compiles exactly one
-executable and concurrent load rides the MXU at batch efficiency instead of
+ONE fixed-shape jitted forward — so the server compiles a small fixed set of
+executables and concurrent load rides the MXU at batch efficiency instead of
 batch-1 latency. Pads the batch with zero rows; shapes are pinned to
-[max_batch, 35, ...] / [max_batch, 56].
+[max_batch, T, ...] / [max_batch, 56], where T is 35 or, under
+``--bucket_frames``, the smallest frame bucket covering the micro-batch's max
+v_len (the headline serving recipe — one executable per bucket, precompiled
+by ``--warmup``; exact for every model except v_only_cnn3d).
 
     python -m videonavqa_tpu.cli.serve --model film_attn_pt \
         --data_dir /path/to/data --checkpoint_path e0_film.ckpt \
@@ -72,18 +75,48 @@ class InferenceEngine:
             import dataclasses
 
             self.cfg = dataclasses.replace(self.cfg, use_pallas_kernels=True)
+        # scale-out serving: --mesh_devices shards each micro-batch over the
+        # 'data' axis (and the widest projections over 'model'), same GSPMD
+        # placement as the training harness (PARALLEL.md). Single-controller
+        # only — a serving replica owns its chips.
+        self.mesh = None
+        self.B = args.max_batch
+        n_mesh = getattr(args, "mesh_devices", 0) or 0
+        if n_mesh:
+            from videonavqa_tpu.parallel import batch_sharding, make_mesh
+
+            self.mesh = make_mesh(
+                n_mesh, model_parallel=getattr(args, "model_parallel", 1) or 1)
+            data_size = self.mesh.shape["data"]
+            if self.B % data_size:
+                raise SystemExit(
+                    f"--max_batch {self.B} must divide by the 'data' mesh "
+                    f"axis ({data_size})")
+            self._batch_spec = batch_sharding(self.mesh)
+
         self.spec = get_model(args.model)
         params, state = self.spec.init(jax.random.PRNGKey(args.seed), self.cfg)
         params, state_r, _, _ = ckpt.load_checkpoint(
             args.checkpoint_path, params_template=params, state_template=state)
+        state = state_r if state_r is not None else state
         # pin restored weights on device: load_checkpoint returns HOST numpy
         # arrays, and passing those to the jitted forward re-uploads every
         # weight on every batch (measured 6s/batch at the flagship preset
         # over the axon tunnel)
-        self.params = jax.device_put(params)
-        self.state = jax.device_put(state_r if state_r is not None else state)
-        self.B = args.max_batch
+        if self.mesh is not None:
+            from videonavqa_tpu.parallel import (
+                param_shardings, put_global, replicate,
+            )
+
+            self.params = put_global(params, param_shardings(params, self.mesh))
+            self.state = replicate(state, self.mesh)
+        else:
+            self.params = jax.device_put(params)
+            self.state = jax.device_put(state)
+        # handler threads share this RandomState (frame-subsample picks);
+        # RandomState is not thread-safe, so all draws go through _rng_lock
         self.rng = np.random.RandomState(args.seed)
+        self._rng_lock = threading.Lock()
 
         self.feature_loader = None
         if getattr(args, "feature_cache", False):
@@ -131,8 +164,19 @@ class InferenceEngine:
         else:
             self.frame_shape = (C.VID_HEIGHT, C.VID_WIDTH, 3)
             self.frame_dtype = np.dtype(np.uint8)
-            self.stem_fn = (load_stem(args, self.paths)
+            self.stem_fn = (load_stem(args, self.paths, mesh=self.mesh)
                             if self.spec.uses_stem else None)
+
+        # length-bucketed batches (the headline serving recipe): trim each
+        # micro-batch's time axis to the smallest bucket >= its max v_len —
+        # exact for every model except v_only_cnn3d (fixed FC geometry); one
+        # jitted executable per bucket shape
+        self.frame_buckets = None
+        if (getattr(args, "bucket_frames", False)
+                and args.model != "v_only_cnn3d"):
+            from videonavqa_tpu.data.pipeline import BatchLoader
+
+            self.frame_buckets = BatchLoader.DEFAULT_FRAME_BUCKETS
 
         cfg, spec, stem_fn = self.cfg, self.spec, self.stem_fn
         cached = self.feature_loader is not None
@@ -175,7 +219,8 @@ class InferenceEngine:
             if path.endswith(ext):
                 path = path[: -len(ext)]
         raw = _decode_video(path)
-        frames, v_len = subsample_frames(raw, self.rng)
+        with self._rng_lock:
+            frames, v_len = subsample_frames(raw, self.rng)
         return frames.astype(np.uint8), v_len
 
     def load_example(self, name):
@@ -203,10 +248,11 @@ class InferenceEngine:
         out = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,) + raw.shape[1:],
                        dtype=raw.dtype)
         count = 0
-        for i in range(0, T, C.DROP_EVERY_N_FRAMES):
-            hi = min(i + C.DROP_EVERY_N_FRAMES, T) - 1
-            out[count] = raw[self.rng.randint(i, hi + 1)]
-            count += 1
+        with self._rng_lock:
+            for i in range(0, T, C.DROP_EVERY_N_FRAMES):
+                hi = min(i + C.DROP_EVERY_N_FRAMES, T) - 1
+                out[count] = raw[self.rng.randint(i, hi + 1)]
+                count += 1
         return out, count
 
     def run_batch(self, items):
@@ -216,31 +262,67 @@ class InferenceEngine:
         planes under --feature_cache."""
         n = len(items)
         B = self.B
-        video = np.zeros((B, C.MAX_ALLOWED_NUM_FRAMES_DROPPING,
-                          *self.frame_shape), self.frame_dtype)
+        # bucket-size the staging buffer up front: the host memcpy and the
+        # transfer both scale with the trimmed time axis, not just the FLOPs
+        t_b = self.bucket_for(max(max(vl, 1) for _, vl, _ in items))
+        video = np.zeros((B, t_b, *self.frame_shape), self.frame_dtype)
         question = np.zeros((B, C.MAX_Q_LEN), np.int32)
         v_len = np.ones(B, np.int32)
         q_len = np.ones(B, np.int32)
         for i, (frames, vl, tokens) in enumerate(items):
-            video[i, :frames.shape[0]] = frames
+            t_i = min(frames.shape[0], t_b)
+            video[i, :t_i] = frames[:t_i]
             question[i, :len(tokens)] = tokens
             v_len[i] = max(vl, 1)
             q_len[i] = max(len(tokens), 1)
-        probs = self._forward(self.params, self.state, jnp.asarray(video),
-                              jnp.asarray(question), jnp.asarray(v_len),
-                              jnp.asarray(q_len))
+        if self.mesh is not None:
+            put = lambda v: jax.device_put(v, self._batch_spec(v))
+        else:
+            put = jnp.asarray
+        probs = self._forward(self.params, self.state, put(video),
+                              put(question), put(v_len), put(q_len))
         return np.asarray(probs)[:n]
+
+    def bucket_for(self, v_len):
+        """Smallest frame bucket covering ``v_len`` (35 when unbucketed)."""
+        if not self.frame_buckets:
+            return C.MAX_ALLOWED_NUM_FRAMES_DROPPING
+        return min((t for t in self.frame_buckets if t >= max(v_len, 1)),
+                   default=C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
+
+    def warmup(self):
+        """Precompile every serving shape (one per frame bucket, or the one
+        35-frame shape) so first requests hit warm executables."""
+        lengths = (list(self.frame_buckets) if self.frame_buckets
+                   else [C.MAX_ALLOWED_NUM_FRAMES_DROPPING])
+        frames = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,
+                           *self.frame_shape), self.frame_dtype)
+        for t in lengths:
+            self.run_batch([(frames, t, [1])])
 
 
 class MicroBatcher:
-    """Collects concurrent requests into one forward call."""
+    """Collects concurrent requests into one forward call.
+
+    With frame buckets, dispatch is BUCKET-AWARE: a mixed batch pays for its
+    longest member (the batch shape is the max v_len's bucket). When the
+    backlog is deep enough that the OLDEST request's bucket can FILL a
+    batch, the worker dispatches that bucket pure and carries the rest —
+    under saturation, batches become bucket-pure and short videos stop
+    subsidizing long ones. When it can't fill one, the batch dispatches
+    mixed exactly as without buckets: every forward is full-shape work
+    regardless of fill, so splitting an underfull batch only multiplies
+    fixed costs (measured 9.5 -> 2.6 videos/s on the sandbox load bench
+    before this fill guard). Oldest-first keeps every request progressing
+    (its group is dispatched or at the front next round)."""
 
     def __init__(self, engine, batch_wait_ms=5.0):
         self.engine = engine
         self.wait_s = batch_wait_ms / 1e3
         self.q = queue.Queue()
+        self._carry = []
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
-                      "forward_s": 0.0}
+                      "deferred": 0, "forward_s": 0.0}
         self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -256,21 +338,55 @@ class MicroBatcher:
         return slot["probs"]
 
     def pending(self):
-        return self.q.qsize()
+        return self.q.qsize() + len(self._carry)
 
     def _loop(self):
+        import time as _time
+
         while True:
-            first = self.q.get()
-            batch = [first]
-            deadline = self.wait_s
-            while len(batch) < self.engine.B:
+            B = self.engine.B
+            batch = self._carry
+            self._carry = []
+            if not batch:
+                batch = [self.q.get()]
+            # absolute deadline: the batch dispatches within wait_s of the
+            # FIRST request (per-get timeouts would stretch the window to
+            # (B-1)*wait_s under a trickle of arrivals)
+            deadline = _time.monotonic() + self.wait_s
+            while len(batch) < B:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    batch.append(self.q.get(timeout=deadline))
+                    batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            # at saturation, look past B into the backlog (free: already
+            # queued) so a bucket group has a chance to fill a whole batch
+            if self.engine.frame_buckets:
+                while len(batch) < 4 * B:
+                    try:
+                        batch.append(self.q.get_nowait())
+                    except queue.Empty:
+                        break
+                key = self.engine.bucket_for(batch[0][0][1])
+                same = [r for r in batch
+                        if self.engine.bucket_for(r[0][1]) == key]
+                if len(same) >= B:
+                    # the oldest request's bucket fills a batch: go pure
+                    dispatch = same[:B]
+                    picked = set(map(id, dispatch))
+                    self._carry = [r for r in batch
+                                   if id(r) not in picked]
+                else:
+                    # can't fill: one mixed batch (splitting underfull
+                    # batches only multiplies fixed per-forward costs)
+                    dispatch, self._carry = batch[:B], batch[B:]
+                if self._carry:
+                    with self._lock:
+                        self.stats["deferred"] += len(self._carry)
+                batch = dispatch
             items = [b[0] for b in batch]
-            import time as _time
-
             t0 = _time.time()
             try:
                 probs = self.engine.run_batch(items)
@@ -327,15 +443,22 @@ def make_handler(engine, batcher):
                     frames, v_len = engine.load_example(req["example"])
                 else:
                     frames, v_len = engine.load_video(req["video"])
-                probs = batcher.submit(frames, v_len, tokens)
-                top = np.argsort(-probs)[:5]
-                self._send(200, {
-                    "answer": CLASS_TO_ANSWER[int(top[0])],
-                    "top": [[CLASS_TO_ANSWER[int(i)], float(probs[i])]
-                            for i in top],
-                })
             except (ValueError, KeyError, OSError) as e:
                 self._send(400, {"error": str(e)})
+                return
+            try:
+                probs = batcher.submit(frames, v_len, tokens)
+            except Exception as e:
+                # an engine/XLA failure must yield a response, not a
+                # silently-dropped connection
+                self._send(500, {"error": f"inference failed: {e}"})
+                return
+            top = np.argsort(-probs)[:5]
+            self._send(200, {
+                "answer": CLASS_TO_ANSWER[int(top[0])],
+                "top": [[CLASS_TO_ANSWER[int(i)], float(probs[i])]
+                        for i in top],
+            })
 
         def log_message(self, fmt, *a):  # quiet access log
             pass
@@ -380,6 +503,11 @@ def main(argv=None):
                         help="with --feature_cache: LRU size (in examples) "
                              "for decoded feature planes (~19 MB each bf16); "
                              "0 disables")
+    parser.add_argument("--warmup", type=lambda s: s.lower() == "true",
+                        default=True,
+                        help="precompile every serving shape before "
+                             "accepting traffic (one executable per frame "
+                             "bucket under --bucket_frames)")
     args = parser.parse_args(argv)
     if not args.model:
         raise SystemExit("--model is required")
@@ -387,9 +515,13 @@ def main(argv=None):
         raise SystemExit("--checkpoint_path is required for serving")
 
     engine, batcher, server = build_server(args)
+    if getattr(args, "warmup", False):
+        print("warming up serving executables...")
+        engine.warmup()
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"(max_batch {args.max_batch}, pallas={engine.cfg.use_pallas_kernels}, "
-          f"int8_trunk={engine.cfg.use_int8_trunk})")
+          f"int8_trunk={engine.cfg.use_int8_trunk}, "
+          f"buckets={engine.frame_buckets or 'off'})")
     server.serve_forever()
 
 
