@@ -23,6 +23,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--max_batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--feature_dtype", type=str, default="bfloat16",
+                    choices=["bfloat16", "float8_e4m3"])
     ap.add_argument("--base", type=str,
                     default=os.path.join(os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))), ".bench_data"))
@@ -33,7 +35,7 @@ def main(argv=None):
     from scripts.serve_load_bench import provision
     from videonavqa_tpu.cli import serve
 
-    ns, test_ids = provision(args.base)
+    ns, test_ids = provision(args.base, args.feature_dtype)
     ns.max_batch = args.max_batch
     ns.bucket_frames = True
     engine = serve.InferenceEngine(ns)

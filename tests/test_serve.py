@@ -320,8 +320,14 @@ def test_mesh_sharded_serving_matches_single_device(served):
         frames[:vl] = rng.randint(
             0, 255, (vl, *single.frame_shape)).astype(single.frame_dtype)
         items.append((frames, vl, [4, 5]))
-    np.testing.assert_allclose(meshed.run_batch(items),
-                               single.run_batch(items), atol=1e-5)
+    want = single.run_batch(items)
+    np.testing.assert_allclose(meshed.run_batch(items), want, atol=1e-5)
+
+    # tensor-parallel serving: widest projections shard over 'model'
+    mp = serve.InferenceEngine(parser.parse_args(
+        common + ["--mesh_devices", "4", "--model_parallel", "2"]))
+    assert mp.mesh.shape == {"data": 2, "model": 2}
+    np.testing.assert_allclose(mp.run_batch(items), want, atol=1e-5)
 
     # max_batch must divide the data axis
     with pytest.raises(SystemExit, match="must divide"):
