@@ -230,6 +230,57 @@ def test_bucketed_serving_exact(served):
     bucketed.warmup()
 
 
+def test_hot_reload_swaps_weights(served):
+    """POST /reload hot-swaps serving weights without restarting: answers
+    for the same request change to the new checkpoint's and /healthz
+    reports the new epoch."""
+    import jax
+
+    from videonavqa_tpu.cli.common import build_q_and_v_parser, cfg_from_args
+    from videonavqa_tpu.models import get_model
+    from videonavqa_tpu.utils.checkpoint import save_checkpoint
+
+    base, port, names, questions = served
+    q = questions[names[0]]["q_text"]
+    before = _post(port, {"video": names[0], "question": q})[1]
+
+    args = build_q_and_v_parser().parse_args(
+        ["--model", "film_gp_pt", "--num_res_blocks", "1",
+         "--num_res_block_channels", "16", "--num_input_channels", "512",
+         "--num_tail_channels", "4", "--embed_size", "8",
+         "--hidden_size", "8", "--compute_dtype", "float32"])
+    cfg = cfg_from_args(args, "film_gp_pt")
+    spec = get_model("film_gp_pt")
+    params2, state2 = spec.init(jax.random.PRNGKey(99), cfg)
+    alt = os.path.join(base, "alt.ckpt.npz")
+    save_checkpoint(alt, params=params2, state=state2, meta={"epoch": 7})
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/reload",
+        data=json.dumps({"checkpoint_path": alt}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["epoch"] == 7
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                timeout=60) as r:
+        assert json.loads(r.read())["epoch"] == 7
+    after = _post(port, {"video": names[0], "question": q})[1]
+    assert [p for _, p in after["top"]] != [p for _, p in before["top"]]
+
+    # bad path -> 400, weights unchanged
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/reload",
+        data=json.dumps({"checkpoint_path": "/no/such.npz"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_microbatcher_bucket_aware_dispatch():
     """Dispatch policy, driven with a stub engine (no jax): a saturated
     backlog dispatches the oldest request's bucket PURE when that bucket can

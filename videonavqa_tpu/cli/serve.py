@@ -19,9 +19,12 @@ by ``--warmup``; exact for every model except v_only_cnn3d).
     POST /predict   {"video": "<path, relative to videos/ or absolute>",
                      "question": "Is there a blue table in the kitchen?"}
       -> {"answer": str, "top": [[answer, prob] x5]}
-    GET  /healthz   -> {"ok": true, "pending": n}
-    GET  /stats     -> {"requests", "batches", "errors", "avg_batch",
-                        "avg_forward_ms", ...}
+    GET  /healthz   -> {"ok": true, "pending": n, "epoch": e}
+    GET  /stats     -> {"requests", "batches", "errors", "deferred",
+                        "avg_batch", "avg_forward_ms", ...}
+    POST /reload    {"checkpoint_path": "<optional new .npz>"}
+      -> hot weight swap, zero downtime (in-flight batches finish on the
+         old weights). SIGTERM/SIGINT drain gracefully.
 
 Serving kernels: --use_pallas_kernels auto-enables on TPU (2.0x batch-1,
 PERF.md); --int8_trunk is opt-in (1.48x at batch serving).
@@ -41,6 +44,7 @@ import json
 import os
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -95,24 +99,7 @@ class InferenceEngine:
             self._batch_spec = batch_sharding(self.mesh)
 
         self.spec = get_model(args.model)
-        params, state = self.spec.init(jax.random.PRNGKey(args.seed), self.cfg)
-        params, state_r, _, _ = ckpt.load_checkpoint(
-            args.checkpoint_path, params_template=params, state_template=state)
-        state = state_r if state_r is not None else state
-        # pin restored weights on device: load_checkpoint returns HOST numpy
-        # arrays, and passing those to the jitted forward re-uploads every
-        # weight on every batch (measured 6s/batch at the flagship preset
-        # over the axon tunnel)
-        if self.mesh is not None:
-            from videonavqa_tpu.parallel import (
-                param_shardings, put_global, replicate,
-            )
-
-            self.params = put_global(params, param_shardings(params, self.mesh))
-            self.state = replicate(state, self.mesh)
-        else:
-            self.params = jax.device_put(params)
-            self.state = jax.device_put(state)
+        self.epoch = self._load_weights(args.checkpoint_path)
         # handler threads share this RandomState (frame-subsample picks);
         # RandomState is not thread-safe, so all draws go through _rng_lock
         self.rng = np.random.RandomState(args.seed)
@@ -197,6 +184,42 @@ class InferenceEngine:
             return jax.nn.softmax(logits, axis=-1)
 
         self._forward = forward
+
+    def _load_weights(self, path):
+        """Load a framework checkpoint and pin it on device (mesh-aware).
+        Returns the checkpoint's epoch. Also the hot-reload path: assigning
+        self.params/self.state is a single reference swap under the GIL, so
+        in-flight forwards finish on the old weights and the next micro-batch
+        picks up the new ones — no downtime, no torn state."""
+        if not path or not os.path.exists(path):
+            raise ValueError(f"checkpoint {path!r} does not exist")
+        params, state = self.spec.init(
+            jax.random.PRNGKey(self.args.seed), self.cfg)
+        params, state_r, _, meta = ckpt.load_checkpoint(
+            path, params_template=params, state_template=state)
+        state = state_r if state_r is not None else state
+        # pin restored weights on device: load_checkpoint returns HOST numpy
+        # arrays, and passing those to the jitted forward re-uploads every
+        # weight on every batch (measured 6s/batch at the flagship preset
+        # over the axon tunnel)
+        if self.mesh is not None:
+            from videonavqa_tpu.parallel import (
+                param_shardings, put_global, replicate,
+            )
+
+            new_params = put_global(params, param_shardings(params, self.mesh))
+            new_state = replicate(state, self.mesh)
+        else:
+            new_params = jax.device_put(params)
+            new_state = jax.device_put(state)
+        self.params, self.state = new_params, new_state
+        return int(meta.get("epoch", 0)) if meta else 0
+
+    def reload(self, path=None):
+        """Hot-swap serving weights from ``path`` (default: the checkpoint
+        the daemon started with, e.g. after a trainer overwrote it)."""
+        self.epoch = self._load_weights(path or self.args.checkpoint_path)
+        return self.epoch
 
     def encode_question(self, text):
         if self.vocab is None:
@@ -419,7 +442,8 @@ def make_handler(engine, batcher):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"ok": True, "pending": batcher.pending()})
+                self._send(200, {"ok": True, "pending": batcher.pending(),
+                                 "epoch": engine.epoch})
             elif self.path == "/stats":
                 with batcher._lock:
                     s = dict(batcher.stats)
@@ -432,6 +456,19 @@ def make_handler(engine, batcher):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                # hot weight swap: {"checkpoint_path": "..."} (optional —
+                # default re-reads the startup checkpoint, e.g. after a
+                # trainer overwrote it). In-flight batches finish on the old
+                # weights; the next micro-batch serves the new ones.
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n)) if n else {}
+                    epoch = engine.reload(req.get("checkpoint_path"))
+                    self._send(200, {"ok": True, "epoch": epoch})
+                except (ValueError, KeyError, OSError) as e:
+                    self._send(400, {"error": str(e)})
+                return
             if self.path != "/predict":
                 self._send(404, {"error": "unknown path"})
                 return
@@ -518,11 +555,31 @@ def main(argv=None):
     if getattr(args, "warmup", False):
         print("warming up serving executables...")
         engine.warmup()
+
+    # graceful drain: SIGTERM/SIGINT stops accepting connections, lets
+    # queued requests finish their micro-batches, then exits — a rolling
+    # restart never drops accepted work
+    import signal
+
+    def _drain(signum, frame):
+        print(f"signal {signum}: draining "
+              f"{batcher.pending()} pending requests...")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
+
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"(max_batch {args.max_batch}, pallas={engine.cfg.use_pallas_kernels}, "
           f"int8_trunk={engine.cfg.use_int8_trunk}, "
           f"buckets={engine.frame_buckets or 'off'})")
     server.serve_forever()
+    deadline = time.monotonic() + 30.0
+    while batcher.pending() and time.monotonic() < deadline:
+        time.sleep(0.05)
+    time.sleep(1.0)  # let the last micro-batch's responses flush
+    server.server_close()
+    print("drained; bye")
 
 
 if __name__ == "__main__":
