@@ -96,3 +96,33 @@ def test_multihost_helpers():
     batch = {"x": np.arange(32, dtype=np.float32).reshape(16, 2)}
     out = global_batch_from_host_shards(mesh, batch)
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+
+
+def test_await_artifacts_ignores_stale_failure_sentinel(tmp_path, monkeypatch):
+    """A .failed sentinel left by a PREVIOUS run must not abort a healthy
+    restart's waiting hosts (process 0 clears it only after minutes of stem
+    hashing); a sentinel written during THIS run still fails fast."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from videonavqa_tpu.cli import common
+
+    monkeypatch.setattr(common.jax, "process_index", lambda: 1)
+    art = str(tmp_path / "features_train.fnr")
+    sentinel = common._failure_sentinel(art)
+    with open(sentinel, "w") as f:
+        f.write("RuntimeError: crash from a previous run")
+    stale = common._RUN_START - 600
+    os.utime(sentinel, (stale, stale))
+
+    t0 = time.time()
+    with _pytest.raises(TimeoutError):  # keeps waiting, ignores stale marker
+        common._await_artifacts([art], timeout=1.5)
+    assert time.time() - t0 >= 1.4
+
+    with open(sentinel, "w") as f:  # fresh mtime == this run's failure
+        f.write("RuntimeError: boom")
+    with _pytest.raises(RuntimeError, match="boom"):
+        common._await_artifacts([art], timeout=30)

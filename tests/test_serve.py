@@ -118,6 +118,44 @@ def test_bad_requests(served):
     status, body = _post(port, {"video": "no_such_video",
                                 "question": questions[names[0]]["q_text"]})
     assert status == 400
+    # valid JSON that is not an object must get a 400, not a dropped
+    # connection (req["question"] on a list would TypeError in the handler)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=b"[1, 2]",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "JSON object" in json.loads(e.read())["error"]
+
+
+def test_feature_cache_requires_stem_model(served):
+    """--feature_cache serving with a raw-video model (concat2d) fails at
+    startup with a pointed error, not a KeyError mid-trace."""
+    import jax
+
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.models import get_model
+    from videonavqa_tpu.cli.common import build_q_and_v_parser, cfg_from_args
+    from videonavqa_tpu.utils.checkpoint import save_checkpoint
+
+    base, _, _, _ = served
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=2)
+    common = ["--model", "concat2d", "--data_dir", base,
+              "--embed_size", "8", "--hidden_size", "8",
+              "--compute_dtype", "float32", "--feature_cache", "true"]
+    args = parser.parse_args(common + ["--checkpoint_path", "x"])
+    cfg = cfg_from_args(args, "concat2d")
+    spec = get_model("concat2d")
+    params, state = spec.init(jax.random.PRNGKey(0), cfg)
+    ckpt = os.path.join(base, "c2d.ckpt.npz")
+    save_checkpoint(ckpt, params=params, state=state)
+    with pytest.raises(SystemExit, match="frozen-stem"):
+        serve.InferenceEngine(
+            parser.parse_args(common + ["--checkpoint_path", ckpt]))
 
 
 @pytest.fixture(scope="module")
@@ -339,6 +377,43 @@ def test_microbatcher_bucket_aware_dispatch():
     for t in threads:
         t.join()
     assert engine2.batches and sorted(engine2.batches[0]) == [2, 15]
+
+
+def test_microbatcher_sheds_load_past_max_pending():
+    """submit raises Overloaded (-> HTTP 503) once max_pending requests are
+    outstanding, instead of queueing MBs of frames until the host OOMs."""
+    import time
+
+    from videonavqa_tpu.cli.serve import MicroBatcher, Overloaded
+
+    release = threading.Event()
+
+    class SlowEngine:
+        B = 2
+        frame_buckets = None
+
+        def bucket_for(self, v_len):
+            return 35
+
+        def run_batch(self, items):
+            release.wait(5.0)
+            return np.zeros((len(items), 70))
+
+    mb = MicroBatcher(SlowEngine(), batch_wait_ms=1.0, max_pending=2)
+    results = []
+    threads = [threading.Thread(
+        target=lambda: results.append(mb.submit(np.zeros(1), 1, [1])))
+        for _ in range(2)]
+    for t in threads:
+        t.start()
+    time.sleep(0.3)  # both outstanding (worker blocked in run_batch)
+    with pytest.raises(Overloaded):
+        mb.submit(np.zeros(1), 1, [1])
+    assert mb.stats["rejected"] == 1
+    release.set()
+    for t in threads:
+        t.join()
+    assert len(results) == 2 and mb.pending() == 0
 
 
 def test_mesh_sharded_serving_matches_single_device(served):

@@ -66,7 +66,9 @@ def test_film_gp_export_drives_reference_module():
     result = m.load_state_dict(
         {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
     assert not result.unexpected_keys
-    assert all(k.startswith("conv1x1_layers") or k.endswith("num_batches_tracked")
+    # BN num_batches_tracked buffers ARE exported (the reference's strict
+    # load requires them) — only the plain-list conv1x1 layers are missing
+    assert all(k.startswith("conv1x1_layers")
                for k in result.missing_keys), result.missing_keys
     with torch.no_grad():  # graft the jax conv1x1 leaves into the fixture
         for k in range(CFG.num_res_blocks):

@@ -284,6 +284,21 @@ def _failure_sentinel(path):
     return path + ".failed"
 
 
+# sentinels older than this process are leftovers of a PREVIOUS failed run:
+# on a restart, non-zero hosts reach _await_artifacts in milliseconds while
+# process 0 is still minutes away from the _artifact_guard that clears them
+# (hashing stem weights etc.) — honoring them would crash every healthy
+# restart. 120 s of slack absorbs cross-host clock skew on the shared fs.
+_RUN_START = time.time()
+
+
+def _sentinel_is_live(path):
+    try:
+        return os.path.getmtime(path) >= _RUN_START - 120.0
+    except OSError:
+        return False
+
+
 class _artifact_guard:
     """Process-0 context for one-time artifact writes: on exception it drops a
     ``<path>.failed`` sentinel next to each artifact so waiting hosts fail
@@ -327,7 +342,7 @@ def _await_artifacts(paths, timeout=3600, ready=None):
     t0 = time.time()
     for p in paths:
         while not ready(p):
-            if os.path.exists(_failure_sentinel(p)):
+            if _sentinel_is_live(_failure_sentinel(p)):
                 with open(_failure_sentinel(p)) as f:
                     reason = f.read().strip()
                 raise RuntimeError(

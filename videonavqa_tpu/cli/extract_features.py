@@ -72,22 +72,42 @@ def stem_fingerprint(args, paths) -> bytes:
     refuses/rebuilds any cache whose recorded fingerprint differs, so swapping
     in real vgg16_caffe.pth / obj_detect.pt (the artifacts the reference
     trains on, eval/utils.py:42-51) or changing --compute_dtype can never
-    silently reuse features from the wrong stem."""
+    silently reuse features from the wrong stem.
+
+    Memoized on (resolved paths, mtime, size, dtype): startup calls it up to
+    three times (features_needed twice + the header write), and each cold
+    call re-hashes the full ~0.5 GB weight files on a single-core host."""
+    frcnn_path = getattr(args, "frcnn_pretrained_path", None)
+    vgg = frcnn_path if frcnn_path and os.path.exists(frcnn_path) else None
+    det = (paths.obj_detector_file
+           if os.path.exists(paths.obj_detector_file) else None)
+    dtype = str(getattr(args, "compute_dtype", "bfloat16"))
+
+    def sig(p):
+        return (p, os.path.getmtime(p), os.path.getsize(p)) if p else None
+
+    key = (sig(vgg), sig(det), dtype)
+    if key in _FINGERPRINT_CACHE:
+        return _FINGERPRINT_CACHE[key]
     h = hashlib.blake2b(digest_size=16)
     h.update(_STEM_CODE_VERSION)
-    frcnn_path = getattr(args, "frcnn_pretrained_path", None)
-    if frcnn_path and os.path.exists(frcnn_path):
+    if vgg:
         h.update(b"vgg-file:")
-        _hash_file_into(h, frcnn_path)
+        _hash_file_into(h, vgg)
     else:
         h.update(b"vgg-random:1234")  # load_stem's seeded init
-    if os.path.exists(paths.obj_detector_file):
+    if det:
         h.update(b"det-file:")
-        _hash_file_into(h, paths.obj_detector_file)
+        _hash_file_into(h, det)
     else:
         h.update(b"det-random:1234")
-    h.update(b"dtype:" + str(getattr(args, "compute_dtype", "bfloat16")).encode())
-    return h.digest()
+    h.update(b"dtype:" + dtype.encode())
+    digest = h.digest()
+    _FINGERPRINT_CACHE[key] = digest
+    return digest
+
+
+_FINGERPRINT_CACHE = {}
 
 
 def features_needed(args, paths, splits, quiet=False) -> list:

@@ -63,6 +63,10 @@ from videonavqa_tpu.utils import constants as C
 CLASS_TO_ANSWER = {v: k for k, v in ANSWER_VOCAB.items()}
 
 
+class Overloaded(RuntimeError):
+    """Raised by MicroBatcher.submit past max_pending; maps to HTTP 503."""
+
+
 class InferenceEngine:
     """Loads the model once; serves padded fixed-shape micro-batches."""
 
@@ -107,6 +111,11 @@ class InferenceEngine:
 
         self.feature_loader = None
         if getattr(args, "feature_cache", False):
+            if not self.spec.uses_stem:
+                raise SystemExit(
+                    f"--feature_cache serving requires a frozen-stem model; "
+                    f"{args.model} consumes raw video (batch['video']) and "
+                    f"has no cached-feature input")
             # production mode: precomputed stem features by example id; the
             # stem never loads and videos never decode
             from videonavqa_tpu.cli.extract_features import (
@@ -187,10 +196,12 @@ class InferenceEngine:
 
     def _load_weights(self, path):
         """Load a framework checkpoint and pin it on device (mesh-aware).
-        Returns the checkpoint's epoch. Also the hot-reload path: assigning
-        self.params/self.state is a single reference swap under the GIL, so
-        in-flight forwards finish on the old weights and the next micro-batch
-        picks up the new ones — no downtime, no torn state."""
+        Returns the checkpoint's epoch. Also the hot-reload path: the swap
+        assigns ONE (params, state) tuple reference under the GIL — readers
+        unpack it in a single load, so a concurrent micro-batch either runs
+        entirely on the old checkpoint or entirely on the new one (separate
+        params/state attributes could tear: new weights under old BN
+        statistics)."""
         if not path or not os.path.exists(path):
             raise ValueError(f"checkpoint {path!r} does not exist")
         params, state = self.spec.init(
@@ -212,8 +223,16 @@ class InferenceEngine:
         else:
             new_params = jax.device_put(params)
             new_state = jax.device_put(state)
-        self.params, self.state = new_params, new_state
+        self._weights = (new_params, new_state)
         return int(meta.get("epoch", 0)) if meta else 0
+
+    @property
+    def params(self):
+        return self._weights[0]
+
+    @property
+    def state(self):
+        return self._weights[1]
 
     def reload(self, path=None):
         """Hot-swap serving weights from ``path`` (default: the checkpoint
@@ -266,17 +285,8 @@ class InferenceEngine:
                     self._example_cache[idx] = raw
                     while len(self._example_cache) > self._example_cache_size:
                         self._example_cache.popitem(last=False)
-        T = min(raw.shape[0],
-                C.DROP_EVERY_N_FRAMES * C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
-        out = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,) + raw.shape[1:],
-                       dtype=raw.dtype)
-        count = 0
         with self._rng_lock:
-            for i in range(0, T, C.DROP_EVERY_N_FRAMES):
-                hi = min(i + C.DROP_EVERY_N_FRAMES, T) - 1
-                out[count] = raw[self.rng.randint(i, hi + 1)]
-                count += 1
-        return out, count
+            return subsample_frames(raw, self.rng, dtype=raw.dtype)
 
     def run_batch(self, items):
         """items: list of (frames [35, *frame_shape], v_len, tokens). Returns
@@ -302,7 +312,8 @@ class InferenceEngine:
             put = lambda v: jax.device_put(v, self._batch_spec(v))
         else:
             put = jnp.asarray
-        probs = self._forward(self.params, self.state, put(video),
+        params, state = self._weights  # one load: immune to hot-reload swaps
+        probs = self._forward(params, state, put(video),
                               put(question), put(v_len), put(q_len))
         return np.asarray(probs)[:n]
 
@@ -339,29 +350,47 @@ class MicroBatcher:
     before this fill guard). Oldest-first keeps every request progressing
     (its group is dispatched or at the front next round)."""
 
-    def __init__(self, engine, batch_wait_ms=5.0):
+    def __init__(self, engine, batch_wait_ms=5.0, max_pending=512):
         self.engine = engine
         self.wait_s = batch_wait_ms / 1e3
+        self.max_pending = max_pending
         self.q = queue.Queue()
         self._carry = []
+        self._outstanding = 0
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
-                      "deferred": 0, "forward_s": 0.0}
+                      "deferred": 0, "rejected": 0, "forward_s": 0.0}
         self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     def submit(self, frames, v_len, tokens):
-        """Blocking: returns this request's probability vector."""
-        done = threading.Event()
-        slot = {}
-        self.q.put(((frames, v_len, tokens), slot, done))
-        done.wait()
-        if "error" in slot:
-            raise slot["error"]
-        return slot["probs"]
+        """Blocking: returns this request's probability vector. Raises
+        Overloaded past ``max_pending`` outstanding requests — shedding load
+        beats growing the queue (each queued item pins MBs of frames) until
+        the host OOMs with /healthz still green."""
+        with self._lock:
+            if self._outstanding >= self.max_pending:
+                self.stats["rejected"] += 1
+                raise Overloaded(
+                    f"{self._outstanding} requests already pending")
+            self._outstanding += 1
+        try:
+            done = threading.Event()
+            slot = {}
+            self.q.put(((frames, v_len, tokens), slot, done))
+            done.wait()
+            if "error" in slot:
+                raise slot["error"]
+            return slot["probs"]
+        finally:
+            with self._lock:
+                self._outstanding -= 1
 
     def pending(self):
-        return self.q.qsize() + len(self._carry)
+        """Outstanding requests: queued, carried, AND inside a running
+        forward — so the graceful drain waits for work the worker has
+        already dequeued, not just the queue."""
+        return self._outstanding
 
     def _loop(self):
         import time as _time
@@ -407,7 +436,11 @@ class MicroBatcher:
                     dispatch, self._carry = batch[:B], batch[B:]
                 if self._carry:
                     with self._lock:
-                        self.stats["deferred"] += len(self._carry)
+                        for _, slot, _ in self._carry:
+                            # count each request once, not once per round
+                            if not slot.get("_deferred"):
+                                slot["_deferred"] = True
+                                self.stats["deferred"] += 1
                 batch = dispatch
             items = [b[0] for b in batch]
             t0 = _time.time()
@@ -440,6 +473,19 @@ def make_handler(engine, batcher):
             self.end_headers()
             self.wfile.write(body)
 
+        def _read_json(self, default=None):
+            """Request body as a dict; ValueError (-> 400) on anything else
+            (a non-dict body like ``[1,2]`` parses as valid JSON but would
+            TypeError on req["question"], dropping the connection with no
+            response)."""
+            n = int(self.headers.get("Content-Length", 0))
+            if not n and default is not None:
+                return default
+            req = json.loads(self.rfile.read(n))
+            if not isinstance(req, dict):
+                raise ValueError("request body must be a JSON object")
+            return req
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True, "pending": batcher.pending(),
@@ -462,8 +508,7 @@ def make_handler(engine, batcher):
                 # trainer overwrote it). In-flight batches finish on the old
                 # weights; the next micro-batch serves the new ones.
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(n)) if n else {}
+                    req = self._read_json(default={})
                     epoch = engine.reload(req.get("checkpoint_path"))
                     self._send(200, {"ok": True, "epoch": epoch})
                 except (ValueError, KeyError, OSError) as e:
@@ -473,8 +518,7 @@ def make_handler(engine, batcher):
                 self._send(404, {"error": "unknown path"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n))
+                req = self._read_json()
                 tokens = engine.encode_question(req["question"])
                 if "example" in req:
                     frames, v_len = engine.load_example(req["example"])
@@ -485,6 +529,9 @@ def make_handler(engine, batcher):
                 return
             try:
                 probs = batcher.submit(frames, v_len, tokens)
+            except Overloaded as e:
+                self._send(503, {"error": f"overloaded: {e}"})
+                return
             except Exception as e:
                 # an engine/XLA failure must yield a response, not a
                 # silently-dropped connection
@@ -519,7 +566,8 @@ def build_server(args):
         daemon_threads = True
 
     engine = InferenceEngine(args)
-    batcher = MicroBatcher(engine, batch_wait_ms=args.batch_wait_ms)
+    batcher = MicroBatcher(engine, batch_wait_ms=args.batch_wait_ms,
+                           max_pending=getattr(args, "max_pending", 512))
     server = Server((args.host, args.port), make_handler(engine, batcher))
     return engine, batcher, server
 
@@ -540,6 +588,9 @@ def main(argv=None):
                         help="with --feature_cache: LRU size (in examples) "
                              "for decoded feature planes (~19 MB each bf16); "
                              "0 disables")
+    parser.add_argument("--max_pending", type=int, default=512,
+                        help="shed load with 503 past this many outstanding "
+                             "requests (each pins MBs of staged frames)")
     parser.add_argument("--warmup", type=lambda s: s.lower() == "true",
                         default=True,
                         help="precompile every serving shape before "

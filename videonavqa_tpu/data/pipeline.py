@@ -107,11 +107,14 @@ def _decode_video(path_base: str) -> np.ndarray:
     return np.stack(frames)
 
 
-def subsample_frames(video: np.ndarray, rng: np.random.RandomState):
+def subsample_frames(video: np.ndarray, rng: np.random.RandomState, *,
+                     dtype=np.uint8):
     """1-of-4 random frame per bucket into a fixed 35-frame container
-    (eval/dataset.py:80-89). Returns ([35, H, W, 3] u8, v_len)."""
+    (eval/dataset.py:80-89). Returns ([35, H, W, 3] u8, v_len). ``dtype``
+    overrides the container dtype (the serving daemon subsamples stored
+    bf16/fp8 feature planes with the same pick semantics)."""
     T = min(video.shape[0], C.DROP_EVERY_N_FRAMES * C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
-    out = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,) + video.shape[1:], dtype=np.uint8)
+    out = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,) + video.shape[1:], dtype=dtype)
     count = 0
     for i in range(0, T, C.DROP_EVERY_N_FRAMES):
         hi = min(i + C.DROP_EVERY_N_FRAMES, T) - 1

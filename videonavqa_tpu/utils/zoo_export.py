@@ -56,6 +56,10 @@ def _bn(sd, prefix, p, s):
     sd[f"{prefix}.bias"] = _np(p["bias"])
     sd[f"{prefix}.running_mean"] = _np(s["mean"])
     sd[f"{prefix}.running_var"] = _np(s["var"])
+    # torch >= 0.4.1 BN state_dicts carry this buffer; the reference's
+    # load_state_dict is strict (eval/q_and_v_eval.py:148-156), so exports
+    # must include it or every BN-bearing model is rejected on load
+    sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
 
 
 def _lstm(sd, prefix, p, suffix="l0"):
@@ -198,7 +202,13 @@ def export_model_checkpoint(model_name, params, state, cfg):
     else:
         raise KeyError(f"no exporter for model {model_name!r}")
 
-    return {k: np.ascontiguousarray(v.astype(np.float32)) for k, v in sd.items()}
+    def finish(v):
+        v = np.asarray(v)
+        if np.issubdtype(v.dtype, np.integer):  # e.g. num_batches_tracked
+            return np.ascontiguousarray(v)
+        return np.ascontiguousarray(v.astype(np.float32))
+
+    return {k: finish(v) for k, v in sd.items()}
 
 
 def save_reference_checkpoint(path, model_name, params, state, cfg, *,
