@@ -141,3 +141,51 @@ def test_int8_trunk_close_to_f32():
     r2, _ = spec.apply(params, state, batch, cfg8, train=True,
                        rng=jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_int8_trunk_static_scales_calibration():
+    """int8_trunk_calibrate records per-conv absmax into the returned state;
+    static-scale int8 logits stay close to f32 AND to dynamic int8 (same
+    quantization, minus the per-batch reductions). The serving engine's
+    lazy-calibration contract: scales ride state['trunk']['int8_scales']."""
+    from videonavqa_tpu.models import ModelConfig, get_model
+
+    key = jax.random.PRNGKey(0)
+    cfg = ModelConfig(model="film_gp_pt", num_res_blocks=2,
+                      num_res_block_channels=16, num_input_channels=12,
+                      num_tail_channels=4, embed_size=8, hidden_size=8,
+                      max_num_frames=5, max_q_len=9, compute_dtype="float32")
+    spec = get_model("film_gp_pt")
+    params, state = spec.init(key, cfg)
+    B, T = 3, 4
+    batch = {
+        "v_features": jax.random.normal(key, (B, T, 10, 13, 12)),
+        "question": jax.random.randint(key, (B, 9), 1, cfg.vocab_size),
+        "v_len": jnp.array([4, 2, 3]),
+        "q_len": jnp.array([9, 4, 6]),
+    }
+    ref, _ = spec.apply(params, state, batch, cfg, train=False,
+                        rng=jax.random.PRNGKey(1))
+
+    cal_cfg = ModelConfig(**{**cfg.__dict__, "use_int8_trunk": True,
+                             "int8_trunk_calibrate": True})
+    cal_logits, cal_state = spec.apply(params, state, batch, cal_cfg,
+                                       train=False, rng=jax.random.PRNGKey(1))
+    # the calibration pass itself is the plain f32 forward
+    np.testing.assert_allclose(np.asarray(cal_logits), np.asarray(ref),
+                               atol=1e-5)
+    scales = cal_state["trunk"]["int8_scales"]
+    assert set(scales) == {"conv_init", "conv1x1_0", "conv3x3_0",
+                           "conv1x1_1", "conv3x3_1"}
+    assert all(float(v) > 0 for v in scales.values())
+
+    cfg8 = ModelConfig(**{**cfg.__dict__, "use_int8_trunk": True})
+    dyn, _ = spec.apply(params, state, batch, cfg8, train=False,
+                        rng=jax.random.PRNGKey(1))
+    static, _ = spec.apply(params, cal_state, batch, cfg8, train=False,
+                           rng=jax.random.PRNGKey(1))
+    rel_f32 = float(jnp.linalg.norm(static - ref) / jnp.linalg.norm(ref))
+    rel_dyn = float(jnp.linalg.norm(static - dyn) / jnp.linalg.norm(dyn))
+    assert rel_f32 < 0.1, rel_f32
+    assert rel_dyn < 0.05, rel_dyn
+    assert bool(jnp.all(jnp.isfinite(static)))

@@ -379,6 +379,40 @@ def test_microbatcher_bucket_aware_dispatch():
     assert engine2.batches and sorted(engine2.batches[0]) == [2, 15]
 
 
+def test_int8_serving_self_calibrates(served):
+    """--int8_trunk serving: the first micro-batch runs the f32 calibration
+    forward (recording static act scales into state); later batches run
+    static int8 and stay close to the calibration output."""
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    base, _, _, _ = served
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=2)
+    eng = serve.InferenceEngine(parser.parse_args(
+        ["--model", "film_gp_pt", "--data_dir", base,
+         "--batch_size", "2", "--num_res_blocks", "1",
+         "--num_res_block_channels", "16", "--num_input_channels", "512",
+         "--num_tail_channels", "4", "--embed_size", "8",
+         "--hidden_size", "8", "--compute_dtype", "float32",
+         "--checkpoint_path",
+         epoch_path(os.path.join(base, "serve_ckpt.npz"), 0),
+         "--use_pallas_kernels", "false", "--int8_trunk", "true"]))
+    assert eng._needs_int8_calibration
+    rng = np.random.RandomState(3)
+    frames = np.zeros((35, *eng.frame_shape), eng.frame_dtype)
+    frames[:4] = rng.randint(0, 255, (4, *eng.frame_shape)).astype(
+        eng.frame_dtype)
+    items = [(frames, 4, [2, 3])]
+    p_cal = eng.run_batch(items)  # f32 calibration pass
+    assert not eng._needs_int8_calibration
+    scales = eng.state["trunk"]["int8_scales"]
+    assert set(scales) == {"conv_init", "conv1x1_0", "conv3x3_0"}
+    p_static = eng.run_batch(items)  # static int8
+    assert np.argmax(p_static[0]) == np.argmax(p_cal[0])
+    np.testing.assert_allclose(p_static, p_cal, atol=0.05)
+
+
 def test_microbatcher_sheds_load_past_max_pending():
     """submit raises Overloaded (-> HTTP 503) once max_pending requests are
     outstanding, instead of queueing MBs of frames until the host OOMs."""

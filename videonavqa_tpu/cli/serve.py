@@ -177,8 +177,7 @@ class InferenceEngine:
         cfg, spec, stem_fn = self.cfg, self.spec, self.stem_fn
         cached = self.feature_loader is not None
 
-        @jax.jit
-        def forward(params, state, visual, question, v_len, q_len):
+        def make_batch(visual, question, v_len, q_len):
             batch = {"question": question, "v_len": v_len, "q_len": q_len}
             if cached:
                 batch["v_features"] = visual  # stored bf16/fp8 planes
@@ -188,11 +187,37 @@ class InferenceEngine:
                     batch["v_features"] = stem_fn(video)
                 else:
                     batch["video"] = video
-            logits, _ = spec.apply(params, state, batch, cfg, train=False,
-                                   rng=jax.random.PRNGKey(0))
+            return batch
+
+        @jax.jit
+        def forward(params, state, visual, question, v_len, q_len):
+            logits, _ = spec.apply(params, state,
+                                   make_batch(visual, question, v_len, q_len),
+                                   cfg, train=False, rng=jax.random.PRNGKey(0))
             return jax.nn.softmax(logits, axis=-1)
 
         self._forward = forward
+
+        # static int8 activation scales: the first micro-batch runs an f32
+        # calibration forward that records per-conv absmax into the state;
+        # every later batch uses them (no per-batch absmax reductions — the
+        # latency cost that made dynamic int8 lose at batch 1, PERF.md)
+        self._needs_int8_calibration = bool(
+            getattr(self.cfg, "use_int8_trunk", False))
+        if self._needs_int8_calibration:
+            import dataclasses
+
+            cal_cfg = dataclasses.replace(self.cfg, int8_trunk_calibrate=True)
+
+            @jax.jit
+            def forward_calibrate(params, state, visual, question, v_len,
+                                  q_len):
+                logits, new_state = spec.apply(
+                    params, state, make_batch(visual, question, v_len, q_len),
+                    cal_cfg, train=False, rng=jax.random.PRNGKey(0))
+                return jax.nn.softmax(logits, axis=-1), new_state
+
+            self._forward_calibrate = forward_calibrate
 
     def _load_weights(self, path):
         """Load a framework checkpoint and pin it on device (mesh-aware).
@@ -236,8 +261,12 @@ class InferenceEngine:
 
     def reload(self, path=None):
         """Hot-swap serving weights from ``path`` (default: the checkpoint
-        the daemon started with, e.g. after a trainer overwrote it)."""
+        the daemon started with, e.g. after a trainer overwrote it). New
+        weights need fresh int8 activation scales — the next micro-batch
+        re-calibrates."""
         self.epoch = self._load_weights(path or self.args.checkpoint_path)
+        if getattr(self.cfg, "use_int8_trunk", False):
+            self._needs_int8_calibration = True
         return self.epoch
 
     def encode_question(self, text):
@@ -313,6 +342,13 @@ class InferenceEngine:
         else:
             put = jnp.asarray
         params, state = self._weights  # one load: immune to hot-reload swaps
+        if self._needs_int8_calibration:
+            probs, new_state = self._forward_calibrate(
+                params, state, put(video), put(question), put(v_len),
+                put(q_len))
+            self._weights = (params, new_state)  # now carries int8_scales
+            self._needs_int8_calibration = False
+            return np.asarray(probs)[:n]
         probs = self._forward(params, state, put(video),
                               put(question), put(v_len), put(q_len))
         return np.asarray(probs)[:n]
@@ -326,7 +362,16 @@ class InferenceEngine:
 
     def warmup(self):
         """Precompile every serving shape (one per frame bucket, or the one
-        35-frame shape) so first requests hit warm executables."""
+        35-frame shape) so first requests hit warm executables.
+
+        With --int8_trunk in cached mode, the int8 calibration pass runs
+        FIRST on a real stored example (zeros would calibrate absmax ~ 0),
+        so the bucket executables compile in their final static-scale form —
+        calibration adds a state key, and compiling before it would leave
+        every warm executable stale."""
+        if self._needs_int8_calibration and self.feature_loader is not None:
+            frames, vl = self.load_example(min(self.id_to_idx))
+            self.run_batch([(frames, vl, [1])])
         lengths = (list(self.frame_buckets) if self.frame_buckets
                    else [C.MAX_ALLOWED_NUM_FRAMES_DROPPING])
         frames = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,

@@ -59,6 +59,12 @@ class ModelConfig:
     # activation scales, per-out-channel weights — ops/quant.py). 1.78x per
     # conv on v5e; small logit drift, so opt-in for paper-comparable numbers.
     use_int8_trunk: bool = False
+    # Calibration pass for STATIC int8 trunk activation scales: an f32 eval
+    # forward that records each trunk conv's input absmax into the returned
+    # state ('int8_scales'); later int8 forwards with those scales in state
+    # skip the per-batch absmax reductions that make dynamic int8 lose at
+    # batch-1 (PERF.md). Serving self-calibrates on its first micro-batch.
+    int8_trunk_calibrate: bool = False
     # Rematerialize FiLM residual blocks in the backward pass (jax.checkpoint):
     # trades ~25% extra trunk FLOPs for ~NxC activation memory, unlocking
     # batch 64+ at the eval.sh preset on a 16GB v5e.

@@ -63,23 +63,43 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     (models/film_global_pooling_pt_stem.py:200-226).
 
     Serving (``cfg.use_int8_trunk and not train``): the trunk convs — the
-    roofline-dominant FLOPs of every FiLM-family step — run int8 with dynamic
-    per-tensor activation scales (ops/quant.py; 1.78x per conv on v5e).
-    BN / FiLM affines / ReLU stay f32."""
+    roofline-dominant FLOPs of every FiLM-family step — run int8
+    (ops/quant.py; 1.78x per conv on v5e). Activation scales are DYNAMIC
+    per-tensor absmax by default; when ``state['int8_scales']`` is present
+    (recorded by a ``cfg.int8_trunk_calibrate`` f32 pass, with 1.25x
+    headroom) they are STATIC, removing the per-batch reductions that make
+    dynamic int8 latency-bound at batch 1. BN / FiLM affines / ReLU stay
+    f32."""
     B, T = feats.shape[:2]
     ch = cfg.num_res_block_channels
     dtype = jnp.dtype(cfg.compute_dtype)
     new_state = dict(state)
 
-    int8 = getattr(cfg, "use_int8_trunk", False) and not train
-    if int8:
+    calibrate = getattr(cfg, "int8_trunk_calibrate", False) and not train
+    int8 = (getattr(cfg, "use_int8_trunk", False) and not train
+            and not calibrate)
+    scales = state.get("int8_scales") if int8 else None
+    if calibrate:
+        captured = {}
+
+        def conv(p, x, name):
+            captured[name] = 1.25 * jnp.max(jnp.abs(x.astype(jnp.float32)))
+            return conv2d(p, x, dtype=jnp.float32)
+
+        new_state["int8_scales"] = captured  # filled as convs run below
+    elif int8 and scales is not None:
+        from videonavqa_tpu.ops.quant import conv2d_int8_static
+
+        conv = lambda p, x, name: conv2d_int8_static(p, x, scales[name])
+    elif int8:
         from videonavqa_tpu.ops.quant import conv2d_int8_dynamic
 
-        conv = lambda p, x: conv2d_int8_dynamic(p, x)
+        conv = lambda p, x, name: conv2d_int8_dynamic(p, x)
     else:
-        conv = lambda p, x: conv2d(p, x, dtype=dtype)
+        conv = lambda p, x, name: conv2d(p, x, dtype=dtype)
 
-    x = conv(params["conv_init"], feats.reshape(B * T, *feats.shape[2:]))
+    x = conv(params["conv_init"], feats.reshape(B * T, *feats.shape[2:]),
+             "conv_init")
     x = jax.nn.relu(x)
     x = x.reshape(B, T, *x.shape[1:])
     x, new_state["bn_init"] = frame_batch_norm(
@@ -89,12 +109,14 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     fv = film_values.reshape(B * T, -1)
 
     def block(k, x, p1x1, p3x3, alphas, betas):
-        res = jax.nn.relu(conv(p1x1, x))
-        y = conv(p3x3, res)
+        res = jax.nn.relu(conv(p1x1, x, f"conv1x1_{k}"))
+        y = conv(p3x3, res, f"conv3x3_{k}")
         y = jax.nn.relu(alphas[:, None, None, :] * y + betas[:, None, None, :])
         return y + res
 
-    if cfg.remat_film_blocks:
+    if cfg.remat_film_blocks and not calibrate:
+        # (capture writes into a dict from inside `block`; under jax.checkpoint
+        # the recorded values would come from the discarded inner trace)
         block = jax.checkpoint(block, static_argnums=(0,))
 
     for k in range(cfg.num_res_blocks):

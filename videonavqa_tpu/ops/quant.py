@@ -39,6 +39,26 @@ def quantize_act_dynamic(x):
     return q, scale
 
 
+def conv2d_int8_static(params, x, act_absmax, *, stride=(1, 1), padding="SAME"):
+    """int8 conv2d with a PRE-CALIBRATED per-tensor activation absmax (a
+    scalar recorded by a calibration forward): no per-batch reduction, which
+    is what makes dynamic int8 latency-bound at batch 1. Out-of-range
+    activations clip at +-127 (the calibration headroom factor absorbs
+    typical batch-to-batch drift)."""
+    wq, sw = quantize_weight_channelwise(params["weight"])
+    sx = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                  -127, 127).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        xq, wq, window_strides=stride, padding=padding,
+        dimension_numbers=_DN2D, preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * sw)
+    b = params.get("bias")
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
+
+
 def conv2d_int8_dynamic(params, x, *, stride=(1, 1), padding="SAME"):
     """Drop-in int8 conv2d: quantize weights (per-out-channel) and
     activations (per-tensor, dynamic) in-graph, accumulate int32, dequantize,
