@@ -27,7 +27,10 @@ by ``--warmup``; exact for every model except v_only_cnn3d).
          old weights). SIGTERM/SIGINT drain gracefully.
 
 Serving kernels: --use_pallas_kernels auto-enables on TPU (2.0x batch-1,
-PERF.md); --int8_trunk is opt-in (1.48x at batch serving).
+PERF.md); --int8_trunk is opt-in (1.48x at batch serving) and
+self-calibrates STATIC activation scales on its first micro-batch (during
+--warmup in cached mode), removing the per-batch absmax reductions that
+made dynamic int8 lose at batch 1.
 
 Production mode — ``--feature_cache true``: serves PRECOMPUTED frozen-stem
 features (the deployment shape behind the 739 videos/s serving bench): the
