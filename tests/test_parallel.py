@@ -261,13 +261,12 @@ def test_graft_entry_dryrun():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for attempt in range(2):  # one retry: rare spurious aborts on this host
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
-            cwd=repo, capture_output=True, text=True, timeout=900)
-        if r.returncode == 0:
-            break
+    # the gate retries its inner subprocess up to 3x900s itself (CPU-mesh
+    # rendezvous flakes), so the outer bound must cover that worst case
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo, capture_output=True, text=True, timeout=3000)
     assert r.returncode == 0, f"rc={r.returncode}\n" + (r.stdout + r.stderr)[-2000:]
     assert "dryrun_multichip(8)" in r.stdout
 
