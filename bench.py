@@ -176,6 +176,20 @@ def main(argv=None):
     batches = {t: make_batch(t, np.clip(all_lens[:B], 3, t))
                for t, n in n_batches_per_bucket.items() if n > 0}
 
+    if args.mode == "eval" and args.int8_trunk:
+        # static int8 activation scales: one f32 calibration forward (the
+        # serving daemon's self-calibration path, models/film.py) so the
+        # timed int8 steps skip the per-batch absmax reductions
+        import dataclasses as _dc
+
+        from videonavqa_tpu.train.step import _forward
+
+        cal_cfg = _dc.replace(cfg, int8_trunk_calibrate=True)
+        first = batches[next(iter(batches))]
+        _, state = jax.jit(lambda p, s, b: _forward(
+            spec, cal_cfg, p, s, b, jax.random.PRNGKey(2), train=False,
+            stem_fn=step_stem_fn))(params, state, first)
+
     rng = jax.random.PRNGKey(1)
     for t, batch in batches.items():  # compile + warmup each bucket
         for _ in range(args.warmup):
