@@ -504,3 +504,45 @@ def test_cached_serving_refuses_stale_stem(served_cached):
     stale = [a if a != "float32" else "bfloat16" for a in common]
     with pytest.raises(SystemExit, match="different\\s+stem"):
         serve.build_server(parser.parse_args(stale))
+
+
+def test_int8_calibration_discarded_when_reload_races(served):
+    """A hot /reload landing mid-calibration must win: the calibration
+    commit is a compare-and-swap on the weights version, so the worker must
+    NOT write the old params + calibrated state back over the fresh
+    checkpoint, and the next micro-batch must re-calibrate the new one."""
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    base, _, _, _ = served
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=2)
+    eng = serve.InferenceEngine(parser.parse_args(
+        ["--model", "film_gp_pt", "--data_dir", base,
+         "--batch_size", "2", "--num_res_blocks", "1",
+         "--num_res_block_channels", "16", "--num_input_channels", "512",
+         "--num_tail_channels", "4", "--embed_size", "8",
+         "--hidden_size", "8", "--compute_dtype", "float32",
+         "--checkpoint_path",
+         epoch_path(os.path.join(base, "serve_ckpt.npz"), 0),
+         "--use_pallas_kernels", "false", "--int8_trunk", "true"]))
+    assert eng._needs_int8_calibration
+
+    real_calibrate = eng._forward_calibrate
+
+    def racing_calibrate(*a, **kw):
+        out = real_calibrate(*a, **kw)
+        eng.reload()  # lands between the calibration forward and its commit
+        return out
+
+    eng._forward_calibrate = racing_calibrate
+    frames = np.zeros((35, *eng.frame_shape), eng.frame_dtype)
+    frames[0, 0, 0] = 7
+    eng.run_batch([(frames, 1, [2])])
+    # the racing reload's weights survive; the stale calibration is dropped
+    assert eng._needs_int8_calibration
+    assert "int8_scales" not in eng.state.get("trunk", {})
+    eng._forward_calibrate = real_calibrate
+    eng.run_batch([(frames, 1, [2])])  # next batch calibrates the new ckpt
+    assert not eng._needs_int8_calibration
+    assert "int8_scales" in eng.state["trunk"]

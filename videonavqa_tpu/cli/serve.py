@@ -106,6 +106,14 @@ class InferenceEngine:
             self._batch_spec = batch_sharding(self.mesh)
 
         self.spec = get_model(args.model)
+        # weights swap/commit coordination: _load_weights (hot reload) bumps
+        # _weights_version under _weights_lock; the int8 calibration commit in
+        # run_batch is a compare-and-swap on that version, so a reload that
+        # lands mid-calibration wins (instead of the worker writing the OLD
+        # params + calibrated state back over the fresh checkpoint)
+        self._weights_lock = threading.Lock()
+        self._weights_version = 0
+        self._needs_int8_calibration = False
         self.epoch = self._load_weights(args.checkpoint_path)
         # handler threads share this RandomState (frame-subsample picks);
         # RandomState is not thread-safe, so all draws go through _rng_lock
@@ -205,9 +213,7 @@ class InferenceEngine:
         # calibration forward that records per-conv absmax into the state;
         # every later batch uses them (no per-batch absmax reductions — the
         # latency cost that made dynamic int8 lose at batch 1, PERF.md)
-        self._needs_int8_calibration = bool(
-            getattr(self.cfg, "use_int8_trunk", False))
-        if self._needs_int8_calibration:
+        if getattr(self.cfg, "use_int8_trunk", False):
             import dataclasses
 
             cal_cfg = dataclasses.replace(self.cfg, int8_trunk_calibrate=True)
@@ -251,7 +257,12 @@ class InferenceEngine:
         else:
             new_params = jax.device_put(params)
             new_state = jax.device_put(state)
-        self._weights = (new_params, new_state)
+        with self._weights_lock:
+            self._weights = (new_params, new_state)
+            self._weights_version += 1
+            # new weights need fresh int8 activation scales
+            if getattr(self.cfg, "use_int8_trunk", False):
+                self._needs_int8_calibration = True
         return int(meta.get("epoch", 0)) if meta else 0
 
     @property
@@ -265,11 +276,9 @@ class InferenceEngine:
     def reload(self, path=None):
         """Hot-swap serving weights from ``path`` (default: the checkpoint
         the daemon started with, e.g. after a trainer overwrote it). New
-        weights need fresh int8 activation scales — the next micro-batch
-        re-calibrates."""
+        weights need fresh int8 activation scales — _load_weights flags the
+        next micro-batch to re-calibrate, atomically with the swap."""
         self.epoch = self._load_weights(path or self.args.checkpoint_path)
-        if getattr(self.cfg, "use_int8_trunk", False):
-            self._needs_int8_calibration = True
         return self.epoch
 
     def encode_question(self, text):
@@ -344,13 +353,24 @@ class InferenceEngine:
             put = lambda v: jax.device_put(v, self._batch_spec(v))
         else:
             put = jnp.asarray
-        params, state = self._weights  # one load: immune to hot-reload swaps
-        if self._needs_int8_calibration:
+        with self._weights_lock:
+            # one load: a concurrent micro-batch runs entirely on one
+            # (params, state) tuple, immune to hot-reload swaps
+            params, state = self._weights
+            version = self._weights_version
+            calibrate = self._needs_int8_calibration
+        if calibrate:
             probs, new_state = self._forward_calibrate(
                 params, state, put(video), put(question), put(v_len),
                 put(q_len))
-            self._weights = (params, new_state)  # now carries int8_scales
-            self._needs_int8_calibration = False
+            with self._weights_lock:
+                if self._weights_version == version:
+                    self._weights = (params, new_state)  # carries int8_scales
+                    self._needs_int8_calibration = False
+                # else: a hot reload swapped the weights mid-calibration —
+                # discard this calibration (it belongs to the OLD weights)
+                # and leave the flag set so the next batch calibrates the
+                # new checkpoint
             return np.asarray(probs)[:n]
         probs = self._forward(params, state, put(video),
                               put(question), put(v_len), put(q_len))
