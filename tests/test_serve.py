@@ -546,3 +546,43 @@ def test_int8_calibration_discarded_when_reload_races(served):
     eng.run_batch([(frames, 1, [2])])  # next batch calibrates the new ckpt
     assert not eng._needs_int8_calibration
     assert "int8_scales" in eng.state["trunk"]
+
+
+def test_video_mode_warmup_recalibrates_on_real_traffic(served):
+    """warmup() with --int8_trunk in video (pixel) mode must NOT leave the
+    daemon serving on scales calibrated from its all-zero warmup frames: a
+    black video's stem activations sit far below real traffic's, so those
+    scales would hard-clip every conv at +-127 and silently serve garbage.
+    warmup calibrates provisionally on random pixels (warming the
+    executables), then re-arms so the FIRST REAL micro-batch commits
+    traffic-derived scales."""
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    base, _, _, _ = served
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=2)
+    eng = serve.InferenceEngine(parser.parse_args(
+        ["--model", "film_gp_pt", "--data_dir", base,
+         "--batch_size", "2", "--num_res_blocks", "1",
+         "--num_res_block_channels", "16", "--num_input_channels", "512",
+         "--num_tail_channels", "4", "--embed_size", "8",
+         "--hidden_size", "8", "--compute_dtype", "float32",
+         "--checkpoint_path",
+         epoch_path(os.path.join(base, "serve_ckpt.npz"), 0),
+         "--use_pallas_kernels", "false", "--int8_trunk", "true"]))
+    eng.warmup()
+    # still armed: real traffic, not the warmup frames, sets the scales
+    assert eng._needs_int8_calibration
+    provisional = {k: float(v) for k, v in
+                   eng.state["trunk"]["int8_scales"].items()}
+    # provisional scales came from random pixels, not the black frames
+    assert all(v > 0 for v in provisional.values())
+    rng = np.random.RandomState(11)
+    frames = np.zeros((35, *eng.frame_shape), eng.frame_dtype)
+    frames[:4] = rng.randint(0, 255, (4, *eng.frame_shape)).astype(
+        eng.frame_dtype)
+    eng.run_batch([(frames, 4, [2, 3])])
+    assert not eng._needs_int8_calibration
+    committed = eng.state["trunk"]["int8_scales"]
+    assert any(float(committed[k]) != provisional[k] for k in provisional)

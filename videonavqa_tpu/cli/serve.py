@@ -387,20 +387,40 @@ class InferenceEngine:
         """Precompile every serving shape (one per frame bucket, or the one
         35-frame shape) so first requests hit warm executables.
 
-        With --int8_trunk in cached mode, the int8 calibration pass runs
-        FIRST on a real stored example (zeros would calibrate absmax ~ 0),
-        so the bucket executables compile in their final static-scale form —
-        calibration adds a state key, and compiling before it would leave
-        every warm executable stale."""
+        With --int8_trunk, the int8 calibration pass runs FIRST so the
+        bucket executables compile in their final static-scale form
+        (calibration adds a state key; compiling before it would leave every
+        warm executable stale). In cached mode it calibrates on a real
+        stored example. In video mode there are no representative pixels at
+        hand — the zero warmup frames are a BLACK video whose stem
+        activations sit far below real traffic's, so scales calibrated on
+        them would hard-clip every conv at +-127 and silently serve garbage.
+        Instead, video mode calibrates provisionally on random pixels at
+        every bucket (warming the calibration executables too) and then
+        RE-ARMS, so the first real micro-batch replaces the provisional
+        scales with traffic-derived ones on a warm executable."""
+        lengths = (list(self.frame_buckets) if self.frame_buckets
+                   else [C.MAX_ALLOWED_NUM_FRAMES_DROPPING])
+        video_int8_cal = (self._needs_int8_calibration
+                          and self.feature_loader is None)
         if self._needs_int8_calibration and self.feature_loader is not None:
             frames, vl = self.load_example(min(self.id_to_idx))
             self.run_batch([(frames, vl, [1])])
-        lengths = (list(self.frame_buckets) if self.frame_buckets
-                   else [C.MAX_ALLOWED_NUM_FRAMES_DROPPING])
+        elif video_int8_cal:
+            rnd = self.rng.randint(
+                0, 256, size=(C.MAX_ALLOWED_NUM_FRAMES_DROPPING,
+                              *self.frame_shape)).astype(self.frame_dtype)
+            for t in lengths:
+                with self._weights_lock:
+                    self._needs_int8_calibration = True
+                self.run_batch([(rnd, t, [1])])
         frames = np.zeros((C.MAX_ALLOWED_NUM_FRAMES_DROPPING,
                            *self.frame_shape), self.frame_dtype)
         for t in lengths:
             self.run_batch([(frames, t, [1])])
+        if video_int8_cal:
+            with self._weights_lock:
+                self._needs_int8_calibration = True
 
 
 class MicroBatcher:
