@@ -178,6 +178,19 @@ def test_int8_trunk_static_scales_calibration():
     assert set(scales) == {"conv_init", "conv1x1_0", "conv3x3_0",
                            "conv1x1_1", "conv3x3_1"}
     assert all(float(v) > 0 for v in scales.values())
+    # calibration also records the PRE-QUANTIZED int8 kernels (the serving
+    # steady state skips per-step weight re-quantization entirely)
+    from videonavqa_tpu.ops.quant import quantize_weight_channelwise
+
+    wqs = cal_state["trunk"]["int8_wq"]
+    assert set(wqs) == set(scales)
+    ref_wq, ref_sw = quantize_weight_channelwise(
+        params["trunk"]["conv3x3_1"]["weight"])
+    assert wqs["conv3x3_1"]["wq"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(wqs["conv3x3_1"]["wq"]),
+                                  np.asarray(ref_wq))
+    np.testing.assert_allclose(np.asarray(wqs["conv3x3_1"]["scale"]),
+                               np.asarray(ref_sw))
 
     cfg8 = ModelConfig(**{**cfg.__dict__, "use_int8_trunk": True})
     dyn, _ = spec.apply(params, state, batch, cfg8, train=False,

@@ -68,8 +68,11 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     per-tensor absmax by default; when ``state['int8_scales']`` is present
     (recorded by a ``cfg.int8_trunk_calibrate`` f32 pass, with 1.25x
     headroom) they are STATIC, removing the per-batch reductions that make
-    dynamic int8 latency-bound at batch 1. BN / FiLM affines / ReLU stay
-    f32."""
+    dynamic int8 latency-bound at batch 1. The calibration pass also records
+    the PRE-QUANTIZED int8 kernels (``state['int8_wq']``), so calibrated
+    serving skips the per-step weight re-quantization (a full read + round +
+    clip over every trunk kernel) and halves the trunk's weight HBM reads.
+    BN / FiLM affines / ReLU stay f32."""
     B, T = feats.shape[:2]
     ch = cfg.num_res_block_channels
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -80,17 +83,35 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
             and not calibrate)
     scales = state.get("int8_scales") if int8 else None
     if calibrate:
+        from videonavqa_tpu.ops.quant import quantize_weight_channelwise
+
         captured = {}
+        captured_wq = {}
 
         def conv(p, x, name):
             captured[name] = 1.25 * jnp.max(jnp.abs(x.astype(jnp.float32)))
+            wq, sw = quantize_weight_channelwise(p["weight"])
+            captured_wq[name] = {"wq": wq, "scale": sw}
             return conv2d(p, x, dtype=jnp.float32)
 
         new_state["int8_scales"] = captured  # filled as convs run below
+        new_state["int8_wq"] = captured_wq  # pre-quantized serving kernels
     elif int8 and scales is not None:
-        from videonavqa_tpu.ops.quant import conv2d_int8_static
+        from videonavqa_tpu.ops.quant import (
+            conv2d_int8_prequant,
+            conv2d_int8_static,
+        )
 
-        conv = lambda p, x, name: conv2d_int8_static(p, x, scales[name])
+        wqs = state.get("int8_wq")
+        if wqs is not None:
+            # steady state: calibration also recorded the int8 kernels, so
+            # the per-step weight re-quantization (a full read+round+clip of
+            # every trunk kernel) disappears
+            conv = lambda p, x, name: conv2d_int8_prequant(
+                wqs[name]["wq"], wqs[name]["scale"], p.get("bias"), x,
+                scales[name])
+        else:
+            conv = lambda p, x, name: conv2d_int8_static(p, x, scales[name])
     elif int8:
         from videonavqa_tpu.ops.quant import conv2d_int8_dynamic
 

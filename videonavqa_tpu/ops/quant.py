@@ -39,6 +39,26 @@ def quantize_act_dynamic(x):
     return q, scale
 
 
+def conv2d_int8_prequant(wq, w_scale, bias, x, act_absmax, *, stride=(1, 1),
+                         padding="SAME"):
+    """int8 conv2d in its serving steady state: weights are PRE-QUANTIZED
+    (int8 kernel + per-out-channel scales recorded by the calibration pass,
+    models/film.py) and the activation absmax is pre-calibrated. Per step,
+    only the activation quantize + the int8 conv remain — no weight-tensor
+    round/clip passes, and the trunk's weight HBM reads halve (int8 vs
+    bf16/f32 re-read + re-quantize every call)."""
+    sx = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                  -127, 127).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        xq, wq, window_strides=stride, padding=padding,
+        dimension_numbers=_DN2D, preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * w_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
 def conv2d_int8_static(params, x, act_absmax, *, stride=(1, 1), padding="SAME"):
     """int8 conv2d with a PRE-CALIBRATED per-tensor activation absmax (a
     scalar recorded by a calibration forward): no per-batch reduction, which
