@@ -108,6 +108,9 @@ def test_stats_reflect_batching(served):
     assert s["requests"] >= 3 and s["batches"] >= 1
     assert s["requests"] > s["batches"]  # at least one multi-request batch
     assert s["avg_forward_ms"] > 0
+    # weight-swap observability: startup load is version 1; no int8 here
+    assert s["weights_version"] >= 1
+    assert s["int8_calibration_pending"] is False
 
 
 def test_bad_requests(served):

@@ -21,7 +21,8 @@ by ``--warmup``; exact for every model except v_only_cnn3d).
       -> {"answer": str, "top": [[answer, prob] x5]}
     GET  /healthz   -> {"ok": true, "pending": n, "epoch": e}
     GET  /stats     -> {"requests", "batches", "errors", "deferred",
-                        "avg_batch", "avg_forward_ms", ...}
+                        "avg_batch", "avg_forward_ms", "weights_version",
+                        "int8_calibration_pending", ...}
     POST /reload    {"checkpoint_path": "<optional new .npz>"}
       -> hot weight swap, zero downtime (in-flight batches finish on the
          old weights). SIGTERM/SIGINT drain gracefully.
@@ -585,6 +586,12 @@ def make_handler(engine, batcher):
                                   if s["batches"] else 0.0)
                 s["avg_forward_ms"] = (s["forward_s"] / s["batches"] * 1e3
                                        if s["batches"] else 0.0)
+                # weight-swap observability: which weights are serving and
+                # whether int8 scales are armed to (re)calibrate
+                with engine._weights_lock:
+                    s["weights_version"] = engine._weights_version
+                    s["int8_calibration_pending"] = \
+                        engine._needs_int8_calibration
                 self._send(200, s)
             else:
                 self._send(404, {"error": "unknown path"})
