@@ -551,6 +551,78 @@ def test_int8_calibration_discarded_when_reload_races(served):
     assert "int8_scales" in eng.state["trunk"]
 
 
+def test_int8_stem_serving_calibrates_on_stored_video(served, tmp_path,
+                                                      monkeypatch):
+    """--int8_stem in video mode calibrates the stem's activation scales at
+    STARTUP on a real stored video (requests reference videos in
+    data_dir/videos — unlike warmup zeros/noise, real pixels are
+    representative traffic). The int8 stem's numerics are covered at reduced
+    width in test_int8_stem.py; full-size int8 convs are impractically slow
+    on the CPU backend, so here a spy stem verifies the serving seam: the
+    engine hands load_stem a real-pixel calibration batch, serves through
+    the returned stem, and fails loudly when no stored video exists."""
+    import jax.numpy as jnp
+
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    base, _, _, _ = served
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=2)
+    common = ["--model", "film_gp_pt", "--data_dir", base,
+              "--batch_size", "2", "--num_res_blocks", "1",
+              "--num_res_block_channels", "16", "--num_input_channels", "512",
+              "--num_tail_channels", "4", "--embed_size", "8",
+              "--hidden_size", "8", "--compute_dtype", "float32",
+              "--checkpoint_path",
+              epoch_path(os.path.join(base, "serve_ckpt.npz"), 0),
+              "--use_pallas_kernels", "false"]
+
+    seen = {}
+
+    def spy_load_stem(args, paths, calibration_video=None, mesh=None):
+        seen["calib"] = calibration_video
+
+        def stem_fn(video):
+            B, T = video.shape[:2]
+            m = jnp.mean(video, axis=(2, 3, 4))
+            return jnp.broadcast_to(m[:, :, None, None, None],
+                                    (B, T, 10, 13, 512))
+
+        return stem_fn
+
+    monkeypatch.setattr(serve, "load_stem", spy_load_stem)
+    eng = serve.InferenceEngine(parser.parse_args(
+        common + ["--int8_stem", "true"]))
+    assert eng.stem_is_int8
+    calib = seen["calib"]
+    # a real decoded video, trimmed to its true length, scaled to [0, 1]
+    assert calib.ndim == 5 and calib.shape[0] == 1
+    assert calib.shape[2:] == (160, 208, 3)
+    assert calib.dtype == jnp.float32
+    assert 0.0 < float(jnp.max(calib)) <= 1.0  # real pixels, not zeros
+
+    frames = np.zeros((35, *eng.frame_shape), eng.frame_dtype)
+    frames[:2] = 128
+    probs = eng.run_batch([(frames, 2, [2, 3])])
+    assert probs.shape == (1, 70)
+    assert np.all(np.isfinite(probs))
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-3)
+
+    # no stored videos -> loud startup failure, not silent mis-calibration
+    import shutil
+
+    empty = str(tmp_path / "empty_data")
+    os.makedirs(os.path.join(empty, "videos"))
+    for f in ("labels.json", "q_ids.json", "split.json", "vocab.json"):
+        shutil.copy(os.path.join(base, f), os.path.join(empty, f))
+    shutil.copytree(os.path.join(base, "encoded_questions"),
+                    os.path.join(empty, "encoded_questions"))
+    bad = [a if a != base else empty for a in common] + ["--int8_stem", "true"]
+    with pytest.raises(SystemExit, match="calibrates on a stored video"):
+        serve.InferenceEngine(parser.parse_args(bad))
+
+
 def test_video_mode_warmup_recalibrates_on_real_traffic(served):
     """warmup() with --int8_trunk in video (pixel) mode must NOT leave the
     daemon serving on scales calibrated from its all-zero warmup frames: a

@@ -31,7 +31,11 @@ Serving kernels: --use_pallas_kernels auto-enables on TPU (2.0x batch-1,
 PERF.md); --int8_trunk is opt-in (1.48x at batch serving) and
 self-calibrates STATIC activation scales on its first micro-batch (during
 --warmup in cached mode), removing the per-batch absmax reductions that
-made dynamic int8 lose at batch 1.
+made dynamic int8 lose at batch 1. In video (online-stem) mode,
+--int8_stem additionally quantizes the frozen VGG stem — the dominant
+FLOPs of online serving — calibrating its activation scales at startup on
+a real stored video (--int8_stem_calibration_video; accuracy caveat in
+PERF.md applies, opt-in).
 
 Production mode — ``--feature_cache true``: serves PRECOMPUTED frozen-stem
 features (the deployment shape behind the 739 videos/s serving bench): the
@@ -122,6 +126,7 @@ class InferenceEngine:
         self._rng_lock = threading.Lock()
 
         self.feature_loader = None
+        self.stem_is_int8 = False
         if getattr(args, "feature_cache", False):
             if not self.spec.uses_stem:
                 raise SystemExit(
@@ -172,7 +177,12 @@ class InferenceEngine:
         else:
             self.frame_shape = (C.VID_HEIGHT, C.VID_WIDTH, 3)
             self.frame_dtype = np.dtype(np.uint8)
-            self.stem_fn = (load_stem(args, self.paths, mesh=self.mesh)
+            calib = (self._stem_calibration_batch(args)
+                     if self.spec.uses_stem and getattr(args, "int8_stem",
+                                                        False) else None)
+            self.stem_is_int8 = calib is not None
+            self.stem_fn = (load_stem(args, self.paths,
+                                      calibration_video=calib, mesh=self.mesh)
                             if self.spec.uses_stem else None)
 
         # length-bucketed batches (the headline serving recipe): trim each
@@ -291,6 +301,30 @@ class InferenceEngine:
                 raise ValueError(f"token {tok!r} not in the dataset vocabulary")
             tokens.append(self.vocab[tok])
         return tokens[: C.MAX_Q_LEN]
+
+    def _stem_calibration_batch(self, args):
+        """--int8_stem serving: calibrate the stem's activation scales at
+        STARTUP on a real stored video — requests reference videos under
+        ``data_dir/videos``, so any stored video is representative traffic
+        (unlike warmup zeros/noise, which would mis-scale every conv; see
+        warmup's int8-trunk note). ``--int8_stem_calibration_video`` picks
+        the video; default is the alphabetically first stored one. Trimmed
+        to its real length: zero pad adds nothing to an absmax."""
+        name = getattr(args, "int8_stem_calibration_video", None)
+        if not name:
+            try:
+                name = sorted(
+                    f for f in os.listdir(self.paths.videos_dir)
+                    if f.endswith((".mp4", ".npy")))[0]
+            except (FileNotFoundError, IndexError):
+                raise SystemExit(
+                    "--int8_stem serving calibrates on a stored video at "
+                    f"startup but none were found in {self.paths.videos_dir};"
+                    " pass --int8_stem_calibration_video <path>")
+        frames, v_len = self.load_video(name)
+        print(f"=> int8 stem: calibrating on {name} ({v_len} frames)")
+        calib = frames[None, : max(int(v_len), 1)]
+        return jnp.asarray(calib).astype(jnp.float32) / 255.0
 
     def load_video(self, path):
         """Decode + subsample one video to [35, H, W, 3] u8 (zero-padded)."""
@@ -686,6 +720,11 @@ def main(argv=None):
     parser.add_argument("--max_pending", type=int, default=512,
                         help="shed load with 503 past this many outstanding "
                              "requests (each pins MBs of staged frames)")
+    parser.add_argument("--int8_stem_calibration_video", type=str,
+                        default=None,
+                        help="with --int8_stem (video mode): stored video to "
+                             "calibrate the stem's activation scales on at "
+                             "startup (default: first video in videos/)")
     parser.add_argument("--warmup", type=lambda s: s.lower() == "true",
                         default=True,
                         help="precompile every serving shape before "
@@ -718,6 +757,7 @@ def main(argv=None):
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"(max_batch {args.max_batch}, pallas={engine.cfg.use_pallas_kernels}, "
           f"int8_trunk={engine.cfg.use_int8_trunk}, "
+          f"int8_stem={engine.stem_is_int8}, "
           f"buckets={engine.frame_buckets or 'off'})")
     server.serve_forever()
     deadline = time.monotonic() + 30.0
