@@ -351,5 +351,31 @@ def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
           file=sys.stderr)
 
 
+def _backend_health_check(timeout_s=180):
+    """The axon TPU tunnel has multi-hour total outages (UNAVAILABLE at
+    backend init) during which every device op hangs. Probe the backend in
+    a subprocess with a hard deadline so a CLI bench run fails FAST with a
+    diagnosable JSON line (contract keys preserved, value 0) instead of
+    wedging the caller. Only wired into __main__: tests and library callers
+    invoke main() directly on their own (already-initialized) backend."""
+    import subprocess
+
+    try:
+        ok = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jnp.ones(4).block_until_ready()"],
+            timeout=timeout_s, capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(json.dumps({
+            "metric": "videos_per_sec_per_chip", "value": 0.0,
+            "unit": "videos/s", "vs_baseline": 0.0,
+            "error": f"device backend unavailable (probe failed within "
+                     f"{timeout_s}s; axon tunnel outage?)"}))
+        raise SystemExit(1)
+
+
 if __name__ == "__main__":
+    _backend_health_check()
     main()
