@@ -202,3 +202,29 @@ def test_int8_trunk_static_scales_calibration():
     assert rel_f32 < 0.1, rel_f32
     assert rel_dyn < 0.05, rel_dyn
     assert bool(jnp.all(jnp.isfinite(static)))
+
+
+def test_int8_prequant_matches_static_bitwise():
+    """conv2d_int8_prequant (calibration-recorded int8 kernels) is the SAME
+    math as conv2d_int8_static, just with the weight quantization hoisted
+    out of the per-step path — outputs must agree bitwise."""
+    from videonavqa_tpu.ops.quant import (
+        conv2d_int8_prequant, conv2d_int8_static, quantize_weight_channelwise,
+    )
+
+    key = jax.random.PRNGKey(3)
+    kw, kb, kx = jax.random.split(key, 3)
+    params = {"weight": jax.random.normal(kw, (3, 3, 12, 16)),
+              "bias": jax.random.normal(kb, (16,))}
+    x = 3.0 * jax.random.normal(kx, (4, 10, 13, 12))
+    absmax = 1.25 * jnp.max(jnp.abs(x))
+
+    ref = conv2d_int8_static(params, x, absmax)
+    wq, sw = quantize_weight_channelwise(params["weight"])
+    got = conv2d_int8_prequant(wq, sw, params["bias"], x, absmax)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # bias-less variant (conv1x1 skip layers have no bias in some trunks)
+    ref_nb = conv2d_int8_static({"weight": params["weight"]}, x, absmax)
+    got_nb = conv2d_int8_prequant(wq, sw, None, x, absmax)
+    np.testing.assert_array_equal(np.asarray(got_nb), np.asarray(ref_nb))
