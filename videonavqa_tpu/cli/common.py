@@ -111,10 +111,14 @@ def build_q_and_v_parser():
     parser.add_argument("--frcnn_pretrained_path", type=str)
     parser.add_argument("--stats_after_every", type=int, default=400)
     parser.add_argument("--val_only", type=lambda s: s.lower() == "true", default=False)
-    parser.add_argument("--bucket_frames", type=lambda s: s.lower() == "true", default=False,
+    parser.add_argument("--bucket_frames",
+                        type=lambda s: "auto" if s.lower() == "auto"
+                        else s.lower() == "true", default=False,
                         help="group length-similar videos per batch and trim the "
                              "frame axis to bucket sizes (exact; skips padding-"
-                             "frame compute, one compile per bucket)")
+                             "frame compute, one compile per bucket). 'auto' "
+                             "picks the cost-optimal bucket edges for this "
+                             "dataset's own length histogram (data.buckets)")
     parser.add_argument("--use_vnr", type=lambda s: s.lower() == "true", default=False,
                         help="feed batches through the native C++ VNR loader "
                              "({split}.vnr files; see cli.pack_dataset)")
@@ -643,6 +647,9 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     # v_only_cnn3d's flatten geometry requires the full 35-frame volume
     bucket = getattr(args, "bucket_frames", False) and model_name != "v_only_cnn3d" \
         and not q_only
+    # frame_buckets spec for the loaders: "auto" = dataset-optimal DP edges
+    fb_spec = "auto" if bucket == "auto" else (True if bucket else None)
+    bucket = bool(bucket)
     stochastic = getattr(args, "stochastic_eval", False)
     if getattr(args, "feature_cache", False) and h.needs_stem and not q_only:
         # Frozen-stem feature cache: extract once (cli.extract_features), then
@@ -656,7 +663,7 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         files = _extract_features_once(args, h, ("train", "val"))
         h.stem_fn, h.needs_stem = None, False
         vnr_kw = dict(seed=args.seed, bucket_by_length=bucket,
-                      frame_buckets=True if bucket else None,
+                      frame_buckets=fb_spec,
                       row_slice=h.row_slice)
         train_loader = VNRBatchLoader(files["train"], args.batch_size,
                                       shuffle=True, mode="train", **vnr_kw)
@@ -668,7 +675,7 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
 
         ensure_built()
         vnr_kw = dict(seed=args.seed, bucket_by_length=bucket,
-                      frame_buckets=True if bucket else None,
+                      frame_buckets=fb_spec,
                       row_slice=h.row_slice)
         loaders = {}
         stochastic = getattr(args, "stochastic_eval", False)
@@ -685,7 +692,7 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         train_loader, val_loader = loaders["train"], loaders["val"]
     else:
         loader_kw = dict(num_workers=args.num_workers, seed=args.seed,
-                         bucket_by_length=bucket, frame_buckets=True if bucket else None)
+                         bucket_by_length=bucket, frame_buckets=fb_spec)
         train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True, **loader_kw)
         val_loader = BatchLoader(val_ds, args.batch_size, shuffle=False, mode="val",
                                  **loader_kw)

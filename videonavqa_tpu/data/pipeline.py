@@ -33,6 +33,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+from videonavqa_tpu.data.buckets import resolve_frame_buckets
 from videonavqa_tpu.utils import constants as C
 
 
@@ -220,8 +221,8 @@ class BatchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.bucket_by_length = bucket_by_length
-        self.frame_buckets = (self.DEFAULT_FRAME_BUCKETS if frame_buckets is True
-                              else frame_buckets)
+        self.frame_buckets = resolve_frame_buckets(
+            frame_buckets, self.ds.subsampled_lengths, self.DEFAULT_FRAME_BUCKETS)
 
     def __len__(self):
         n = len(self.ds)

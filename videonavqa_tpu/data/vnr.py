@@ -20,6 +20,7 @@ import zlib
 import ml_dtypes
 import numpy as np
 
+from videonavqa_tpu.data.buckets import resolve_frame_buckets
 from videonavqa_tpu.data.pipeline import DataPaths, _decode_video, load_json
 from videonavqa_tpu.utils import constants as C
 
@@ -268,11 +269,14 @@ class VNRBatchLoader:
         self.deterministic = deterministic
         self.row_slice = row_slice
         self.bucket_by_length = bucket_by_length
-        self.frame_buckets = (BatchLoader.DEFAULT_FRAME_BUCKETS
-                              if frame_buckets is True else frame_buckets)
         self._lengths = np.zeros(self.n, dtype=np.int32)
         self._lib.vnr_lengths(self._handle,
                               self._lengths.ctypes.data_as(ctypes.c_void_p))
+        # "auto" resolves over the GLOBAL length table (not the row slice),
+        # so multi-host loaders all pick the identical bucket set
+        self.frame_buckets = resolve_frame_buckets(
+            frame_buckets, lambda: self._lengths,
+            BatchLoader.DEFAULT_FRAME_BUCKETS)
 
     def __len__(self):
         if self.mode == "test":
