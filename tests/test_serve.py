@@ -231,6 +231,29 @@ def test_cached_serving_mode_routing(served_cached):
     assert status == 400 and "unknown example" in body["error"]
 
 
+def test_cached_auto_buckets_exact(served_cached):
+    """--bucket_frames auto in --feature_cache mode picks the DP-optimal
+    bucket edges from the stored container's length table and produces the
+    same probabilities as unbucketed serving."""
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.data.buckets import optimal_frame_buckets
+
+    _, _, test_ids, questions, parser, common = served_cached
+    plain = serve.InferenceEngine(parser.parse_args(common))
+    auto = serve.InferenceEngine(
+        parser.parse_args(common + ["--bucket_frames", "auto"]))
+    assert auto.frame_buckets == optimal_frame_buckets(
+        auto.feature_loader._lengths)
+
+    items = []
+    for name in test_ids[:2]:
+        frames, vl = auto.load_example(name)
+        items.append((frames, vl, [1, 2, 3]))
+    p_plain = plain.run_batch(items)
+    p_auto = auto.run_batch(items)
+    np.testing.assert_allclose(p_auto, p_plain, atol=1e-5)
+
+
 def test_bucketed_serving_exact(served):
     """--bucket_frames serving trims the time axis per micro-batch and
     produces the SAME probabilities as the full 35-frame shape (the loaders'

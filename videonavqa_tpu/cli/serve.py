@@ -190,11 +190,24 @@ class InferenceEngine:
         # exact for every model except v_only_cnn3d (fixed FC geometry); one
         # jitted executable per bucket shape
         self.frame_buckets = None
-        if (getattr(args, "bucket_frames", False)
-                and args.model != "v_only_cnn3d"):
+        bucket = getattr(args, "bucket_frames", False)
+        if bucket and args.model != "v_only_cnn3d":
+            from videonavqa_tpu.data.buckets import resolve_frame_buckets
             from videonavqa_tpu.data.pipeline import BatchLoader
 
-            self.frame_buckets = BatchLoader.DEFAULT_FRAME_BUCKETS
+            if bucket == "auto" and self.feature_loader is not None:
+                # dataset-optimal edges from the stored container's own
+                # length histogram (data/buckets.py DP)
+                self.frame_buckets = resolve_frame_buckets(
+                    "auto", lambda: self.feature_loader._lengths,
+                    BatchLoader.DEFAULT_FRAME_BUCKETS)
+            else:
+                # video mode has no ahead-of-time length table — use the
+                # fixed grid ("auto" falls back with a note)
+                if bucket == "auto":
+                    print("=> --bucket_frames auto needs --feature_cache; "
+                          "using the default bucket grid")
+                self.frame_buckets = BatchLoader.DEFAULT_FRAME_BUCKETS
 
         cfg, spec, stem_fn = self.cfg, self.spec, self.stem_fn
         cached = self.feature_loader is not None
