@@ -243,7 +243,7 @@ def test_cached_auto_buckets_exact(served_cached):
     auto = serve.InferenceEngine(
         parser.parse_args(common + ["--bucket_frames", "auto"]))
     assert auto.frame_buckets == optimal_frame_buckets(
-        auto.feature_loader._lengths)
+        auto.feature_loader.lengths)
 
     items = []
     for name in test_ids[:2]:
@@ -252,6 +252,43 @@ def test_cached_auto_buckets_exact(served_cached):
     p_plain = plain.run_batch(items)
     p_auto = auto.run_batch(items)
     np.testing.assert_allclose(p_auto, p_plain, atol=1e-5)
+
+
+def test_pipelined_batcher_parity(served_cached):
+    """pipeline_depth >= 2 (dispatch on the worker thread, device fetch on
+    the completion thread) answers every concurrent request with exactly the
+    synchronous path's probabilities — no drops, no deadlock, stats intact."""
+    from videonavqa_tpu.cli import serve
+
+    _, _, test_ids, questions, parser, common = served_cached
+    engine = serve.InferenceEngine(parser.parse_args(common))
+    items = []
+    for name in test_ids[:3]:
+        frames, vl = engine.load_example(name)
+        items.append((frames, vl, [1, 2, 3]))
+    expect = engine.run_batch(items)
+
+    for depth in (1, 3):
+        batcher = serve.MicroBatcher(engine, batch_wait_ms=30.0,
+                                     pipeline_depth=depth)
+        results = [None] * 12
+
+        def one(i):
+            frames, vl, toks = items[i % len(items)]
+            results[i] = batcher.submit(frames, vl, toks)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, r in enumerate(results):
+            np.testing.assert_allclose(r, expect[i % len(items)], atol=1e-5,
+                                       err_msg=f"depth={depth} req={i}")
+        with batcher._lock:
+            s = dict(batcher.stats)
+        assert s["requests"] == 12 and s["errors"] == 0
+        assert s["forward_s"] > 0 and s["batches"] >= 3
 
 
 def test_bucketed_serving_exact(served):

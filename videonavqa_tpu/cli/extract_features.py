@@ -168,7 +168,7 @@ def extract_split(args, stem_fn, split: str, ids, fingerprint=None) -> str:
     # adapt the fixed chunk shape to the split's actual max raw length so
     # short-video datasets don't pad every stem call up to 128 frames
     # (loader lengths are the subsampled ceil(t/4), so 4*max bounds raw t)
-    max_raw = min(int(loader._lengths.max(initial=1)) * C.DROP_EVERY_N_FRAMES,
+    max_raw = min(int(loader.lengths.max(initial=1)) * C.DROP_EVERY_N_FRAMES,
                   C.DROP_EVERY_N_FRAMES * C.MAX_ALLOWED_NUM_FRAMES_DROPPING)
     chunk = min(getattr(args, "chunk", 128), max(8, -(-max_raw // 8) * 8))
     out = feature_file(args.data_dir, split, payload)

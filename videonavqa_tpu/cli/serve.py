@@ -6,7 +6,11 @@ are MICRO-BATCHED: a collector thread gathers up to --max_batch requests (or
 whatever arrived within --batch_wait_ms of the first) and runs them through
 ONE fixed-shape jitted forward — so the server compiles a small fixed set of
 executables and concurrent load rides the MXU at batch efficiency instead of
-batch-1 latency. Pads the batch with zero rows; shapes are pinned to
+batch-1 latency. Dispatch is PIPELINED (``--pipeline_depth``, default 2):
+jax enqueues the forward asynchronously and a completion thread fetches the
+result, so the next micro-batch's staging memcpy and host->device transfer
+overlap the current batch's device compute. Pads the batch with zero rows;
+shapes are pinned to
 [max_batch, T, ...] / [max_batch, 56], where T is 35 or, under
 ``--bucket_frames``, the smallest frame bucket covering the micro-batch's max
 v_len (the headline serving recipe — one executable per bucket, precompiled
@@ -199,7 +203,7 @@ class InferenceEngine:
                 # dataset-optimal edges from the stored container's own
                 # length histogram (data/buckets.py DP)
                 self.frame_buckets = resolve_frame_buckets(
-                    "auto", lambda: self.feature_loader._lengths,
+                    "auto", lambda: self.feature_loader.lengths,
                     BatchLoader.DEFAULT_FRAME_BUCKETS)
             else:
                 # video mode has no ahead-of-time length table — use the
@@ -264,8 +268,9 @@ class InferenceEngine:
             raise ValueError(f"checkpoint {path!r} does not exist")
         params, state = self.spec.init(
             jax.random.PRNGKey(self.args.seed), self.cfg)
-        params, state_r, _, meta = ckpt.load_checkpoint(
-            path, params_template=params, state_template=state)
+        params, state_r, _, meta = ckpt.load_any_checkpoint(
+            path, model_name=self.args.model, cfg=self.cfg,
+            params_template=params, state_template=state)
         state = state_r if state_r is not None else state
         # pin restored weights on device: load_checkpoint returns HOST numpy
         # arrays, and passing those to the jitted forward re-uploads every
@@ -382,6 +387,18 @@ class InferenceEngine:
         [n, num_classes] probabilities (padding rows dropped). frame_shape /
         dtype are [H,W,3] u8 pixels normally, [10,13,512] bf16/fp8 feature
         planes under --feature_cache."""
+        probs, n, fetched = self.dispatch_batch(items)
+        return probs if fetched else np.asarray(probs)[:n]
+
+    def dispatch_batch(self, items):
+        """Stage + transfer + ENQUEUE the forward without forcing the result:
+        returns ``(probs, n, fetched)`` where ``probs`` is a device array the
+        caller materializes later with ``np.asarray(probs)[:n]`` (jax
+        dispatch is asynchronous, so the device computes while the caller
+        stages the next batch — the MicroBatcher's pipeline). ``fetched`` is
+        True only for an int8-calibration batch, which must complete
+        synchronously (its new state commits under the weights lock) and so
+        already returns trimmed host probabilities."""
         n = len(items)
         B = self.B
         # bucket-size the staging buffer up front: the host memcpy and the
@@ -419,10 +436,10 @@ class InferenceEngine:
                 # discard this calibration (it belongs to the OLD weights)
                 # and leave the flag set so the next batch calibrates the
                 # new checkpoint
-            return np.asarray(probs)[:n]
+            return np.asarray(probs)[:n], n, True
         probs = self._forward(params, state, put(video),
                               put(question), put(v_len), put(q_len))
-        return np.asarray(probs)[:n]
+        return probs, n, False
 
     def bucket_for(self, v_len):
         """Smallest frame bucket covering ``v_len`` (35 when unbucketed)."""
@@ -486,7 +503,15 @@ class MicroBatcher:
     before this fill guard). Oldest-first keeps every request progressing
     (its group is dispatched or at the front next round)."""
 
-    def __init__(self, engine, batch_wait_ms=5.0, max_pending=512):
+    def __init__(self, engine, batch_wait_ms=5.0, max_pending=512,
+                 pipeline_depth=1):
+        """``pipeline_depth`` bounds dispatched-but-unfetched micro-batches.
+        At depth >= 2 the worker hands the (asynchronously dispatched)
+        forward to a completion thread and immediately stages the next batch
+        — host memcpy + host->device transfer of batch N+1 overlap device
+        compute of batch N (jax dispatch returns before the device runs).
+        Depth 1 is the fully synchronous loop; each extra unit of depth pins
+        one more staged batch in host+device memory."""
         self.engine = engine
         self.wait_s = batch_wait_ms / 1e3
         self.max_pending = max_pending
@@ -496,6 +521,13 @@ class MicroBatcher:
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "deferred": 0, "rejected": 0, "forward_s": 0.0}
         self._lock = threading.Lock()
+        self._cq = None
+        if pipeline_depth > 1:
+            self._cq = queue.Queue()
+            self._inflight = threading.Semaphore(pipeline_depth)
+            self._completer = threading.Thread(target=self._complete,
+                                               daemon=True)
+            self._completer.start()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -580,21 +612,62 @@ class MicroBatcher:
                 batch = dispatch
             items = [b[0] for b in batch]
             t0 = _time.time()
+            if self._cq is None:  # pipeline_depth 1: fully synchronous
+                try:
+                    probs = self.engine.run_batch(items)
+                except Exception as e:
+                    self._fail(batch, e)
+                else:
+                    self._settle(batch, probs, t0)
+                continue
+            # pipelined: the forward is dispatched (asynchronously — jax
+            # returns before the device runs) and handed to the completion
+            # thread; this loop goes straight back to staging the next
+            # batch. The semaphore bounds dispatched-but-unfetched batches.
+            self._inflight.acquire()
             try:
-                probs = self.engine.run_batch(items)
-                for i, (_, slot, done) in enumerate(batch):
-                    slot["probs"] = probs[i]
-                    done.set()
-                with self._lock:
-                    self.stats["requests"] += len(batch)
-                    self.stats["batches"] += 1
-                    self.stats["forward_s"] += _time.time() - t0
-            except Exception as e:  # surface to every waiter
-                for _, slot, done in batch:
-                    slot["error"] = e
-                    done.set()
-                with self._lock:
-                    self.stats["errors"] += len(batch)
+                handle = self.engine.dispatch_batch(items)
+            except Exception as e:
+                self._inflight.release()
+                self._fail(batch, e)
+            else:
+                self._cq.put((batch, handle, t0))
+
+    def _settle(self, batch, probs, t0):
+        """Deliver one micro-batch's probabilities to its waiters."""
+        import time as _time
+
+        for i, (_, slot, done) in enumerate(batch):
+            slot["probs"] = probs[i]
+            done.set()
+        with self._lock:
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["forward_s"] += _time.time() - t0
+
+    def _fail(self, batch, e):
+        """Surface one failure to every waiter in the batch."""
+        for _, slot, done in batch:
+            slot["error"] = e
+            done.set()
+        with self._lock:
+            self.stats["errors"] += len(batch)
+
+    def _complete(self):
+        """Completion side of the pipeline: force each dispatched forward
+        (device fetch) and deliver it, in dispatch order. Fetch errors
+        (XLA runtime failures surface at materialization when dispatch is
+        asynchronous) land on the batch's waiters like dispatch errors."""
+        while True:
+            batch, (probs, n, fetched), t0 = self._cq.get()
+            try:
+                arr = probs if fetched else np.asarray(probs)[:n]
+            except Exception as e:
+                self._fail(batch, e)
+            else:
+                self._settle(batch, arr, t0)
+            finally:
+                self._inflight.release()
 
 
 def make_handler(engine, batcher):
@@ -709,7 +782,8 @@ def build_server(args):
 
     engine = InferenceEngine(args)
     batcher = MicroBatcher(engine, batch_wait_ms=args.batch_wait_ms,
-                           max_pending=getattr(args, "max_pending", 512))
+                           max_pending=getattr(args, "max_pending", 512),
+                           pipeline_depth=getattr(args, "pipeline_depth", 2))
     server = Server((args.host, args.port), make_handler(engine, batcher))
     return engine, batcher, server
 
@@ -733,6 +807,12 @@ def main(argv=None):
     parser.add_argument("--max_pending", type=int, default=512,
                         help="shed load with 503 past this many outstanding "
                              "requests (each pins MBs of staged frames)")
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="micro-batches in flight on the device: at >= 2 "
+                             "the next batch's staging + host->device "
+                             "transfer overlap the current batch's forward "
+                             "(1 = synchronous; each unit pins one staged "
+                             "batch in host+device memory)")
     parser.add_argument("--int8_stem_calibration_video", type=str,
                         default=None,
                         help="with --int8_stem (video mode): stored video to "

@@ -278,6 +278,12 @@ class VNRBatchLoader:
             frame_buckets, lambda: self._lengths,
             BatchLoader.DEFAULT_FRAME_BUCKETS)
 
+    @property
+    def lengths(self):
+        """Per-example subsampled video lengths [n] (container order) — the
+        global table, independent of ``row_slice``."""
+        return self._lengths
+
     def __len__(self):
         if self.mode == "test":
             return (self.n + self.batch_size - 1) // self.batch_size
