@@ -709,9 +709,10 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
     start_epoch = 0
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):
         print("=> Restoring from checkpoint path %s" % args.checkpoint_path)
-        params, state_r, opt_r, meta = ckpt.load_checkpoint(
-            args.checkpoint_path, params_template=params,
-            state_template=state, opt_template=opt_state)
+        params, state_r, opt_r, meta = ckpt.load_any_checkpoint(
+            args.checkpoint_path, model_name=h.model_name, cfg=h.cfg,
+            params_template=params, state_template=state,
+            opt_template=opt_state)
         state = state_r if state_r is not None else state
         opt_state = opt_r if opt_r is not None else opt_state
         start_epoch = int(meta.get("epoch", -1)) + 1
@@ -798,8 +799,9 @@ def run_test(args, model_name, *, q_only=False, v_only=False):
     params, state = h.init_model()
     if not args.checkpoint_path or not os.path.exists(args.checkpoint_path):
         raise SystemExit("=> Checkpoint required for testing (--checkpoint_path)")
-    params, state_r, _, meta = ckpt.load_checkpoint(
-        args.checkpoint_path, params_template=params, state_template=state)
+    params, state_r, _, meta = ckpt.load_any_checkpoint(
+        args.checkpoint_path, model_name=h.model_name, cfg=h.cfg,
+        params_template=params, state_template=state)
     state = state_r if state_r is not None else state
     if "val_acc" in meta:
         print("=> Restored checkpoint with val acc %s" % meta["val_acc"])

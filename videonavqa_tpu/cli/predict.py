@@ -77,8 +77,9 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, use_pallas_kernels=True)
     spec = get_model(args.model)
     params, state = spec.init(jax.random.PRNGKey(args.seed), cfg)
-    params, state_r, _, _ = ckpt.load_checkpoint(
-        args.checkpoint_path, params_template=params, state_template=state)
+    params, state_r, _, _ = ckpt.load_any_checkpoint(
+        args.checkpoint_path, model_name=args.model, cfg=cfg,
+        params_template=params, state_template=state)
     # load_checkpoint returns host numpy arrays; pin them on device once
     params = jax.device_put(params)
     state = jax.device_put(state_r if state_r is not None else state)

@@ -118,6 +118,62 @@ def epoch_path(checkpoint_path: str, epoch: int) -> str:
     return os.path.join(d, f"e{epoch}_{b}")
 
 
+def _is_torch_save(path: str) -> bool:
+    """True for a PyTorch checkpoint: torch>=1.6 saves are zip archives
+    containing a ``data.pkl`` member, legacy saves are bare pickles. Our own
+    npz checkpoints are also zips, but always carry ``__meta__.npy`` — sniff
+    contents, not extensions, so a reference ``.pt`` renamed to ``.npz`` (or
+    vice versa) still routes correctly."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+        if any(n.split("/")[-1] == "__meta__.npy" for n in names):
+            return False
+        return any(n.endswith("data.pkl") for n in names)
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    # legacy torch saves start with a pickle PROTO opcode (npz never does —
+    # it is always a zip)
+    return magic[:1] == b"\x80"
+
+
+def load_any_checkpoint(path, *, model_name, cfg, params_template,
+                        state_template=None, opt_template=None):
+    """``load_checkpoint`` that also accepts the reference's torch
+    checkpoints (eval/q_and_v_eval.py:148-156: ``{'epoch', 'state_dict',
+    'optimizer', ...}``, or a bare state_dict), so a user switching from the
+    reference can point --checkpoint_path at their existing ``.pt`` for
+    eval/test/serving/resume without a conversion step. The import is the
+    golden-tested ``zoo_import.import_model_checkpoint`` mapping; torch
+    optimizer moments are NOT imported (``opt_state`` returns None — a
+    resumed training run restarts Adam fresh at the checkpoint's epoch)."""
+    if not _is_torch_save(path):
+        return load_checkpoint(path, params_template=params_template,
+                               state_template=state_template,
+                               opt_template=opt_template)
+    import torch
+
+    from videonavqa_tpu.utils.zoo_import import (
+        import_model_checkpoint, verify_shapes,
+    )
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = (obj["state_dict"]
+          if isinstance(obj, dict) and "state_dict" in obj else obj)
+    params, state, missing = import_model_checkpoint(model_name, sd, cfg)
+    verify_shapes(model_name, params, state, cfg)
+    if missing:
+        print(f"=> Imported reference torch checkpoint {path}; "
+              f"{len(missing)} leaves absent from reference state_dicts "
+              f"re-initialized seeded (reference quirk): {missing}")
+    meta = {}
+    if isinstance(obj, dict) and "epoch" in obj:
+        meta["epoch"] = int(obj["epoch"])
+    return params, state, None, meta
+
+
 # ---------------------------------------------------------------------------
 # Async checkpointing: the device->host gather + npz write run on a single
 # background worker so the training loop never blocks on IO (orbax-style;
