@@ -108,6 +108,9 @@ def main(argv=None):
                          "frame bucket)")
     ap.add_argument("--feature_dtype", type=str, default="bfloat16",
                     choices=["bfloat16", "float8_e4m3"])
+    ap.add_argument("--pipeline_depth", type=int, default=2,
+                    help="micro-batches in flight (serve --pipeline_depth); "
+                         "1 = synchronous dispatch")
     ap.add_argument("--base", type=str,
                     default=os.path.join(os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))), ".bench_data"))
@@ -118,6 +121,7 @@ def main(argv=None):
     ns, test_ids = provision(args.base, args.feature_dtype)
     ns.max_batch = args.max_batch
     ns.bucket_frames = args.bucket_frames
+    ns.pipeline_depth = args.pipeline_depth
     engine, batcher, server = serve.build_server(ns)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     port = server.server_address[1]

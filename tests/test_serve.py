@@ -113,6 +113,30 @@ def test_stats_reflect_batching(served):
     assert s["int8_calibration_pending"] is False
 
 
+def test_metrics_endpoint(served):
+    """/metrics serves the batcher stats in Prometheus text format and
+    /stats reports end-to-end latency percentiles (runs after the
+    concurrent test, so requests have flowed)."""
+    _, port, _, _ = served
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats",
+                                timeout=60) as r:
+        s = json.loads(r.read())
+    assert s["latency_p50_ms"] > 0
+    assert s["latency_p99_ms"] >= s["latency_p95_ms"] >= s["latency_p50_ms"]
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics",
+                                timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert "# TYPE videonavqa_requests_total counter" in text
+    metrics = {line.split(" ")[0]: float(line.split(" ")[1])
+               for line in text.splitlines() if not line.startswith("#")}
+    assert metrics["videonavqa_requests_total"] == s["requests"]
+    assert metrics["videonavqa_batches_total"] == s["batches"]
+    assert (metrics['videonavqa_request_latency_seconds{quantile="0.50"}']
+            == pytest.approx(s["latency_p50_ms"] / 1e3, rel=1e-4))
+
+
 def test_bad_requests(served):
     _, port, names, questions = served
     status, body = _post(port, {"video": names[0],

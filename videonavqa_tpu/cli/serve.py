@@ -25,8 +25,11 @@ by ``--warmup``; exact for every model except v_only_cnn3d).
       -> {"answer": str, "top": [[answer, prob] x5]}
     GET  /healthz   -> {"ok": true, "pending": n, "epoch": e}
     GET  /stats     -> {"requests", "batches", "errors", "deferred",
-                        "avg_batch", "avg_forward_ms", "weights_version",
-                        "int8_calibration_pending", ...}
+                        "avg_batch", "avg_forward_ms", "latency_p50_ms",
+                        "latency_p95_ms", "latency_p99_ms",
+                        "weights_version", "int8_calibration_pending", ...}
+    GET  /metrics   -> the same stats in Prometheus text format
+                       (videonavqa_* counters/gauges + latency summary)
     POST /reload    {"checkpoint_path": "<optional new .npz>"}
       -> hot weight swap, zero downtime (in-flight batches finish on the
          old weights). SIGTERM/SIGINT drain gracefully.
@@ -52,6 +55,7 @@ entirely, and requests address packed examples by id:
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 import queue
@@ -169,8 +173,6 @@ class InferenceEngine:
             # LRU over decoded [T,10,13,512] planes: a full-example zstd
             # decode is ~19 MB of work per request, so hot examples are
             # served from memory (~19 MB/entry bf16; half that fp8)
-            import collections
-
             self._example_cache = collections.OrderedDict()
             self._example_cache_size = max(
                 0, getattr(args, "example_cache", 64))
@@ -520,6 +522,9 @@ class MicroBatcher:
         self._outstanding = 0
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "deferred": 0, "rejected": 0, "forward_s": 0.0}
+        # end-to-end request latencies (submit -> response), last 1024:
+        # enough for steady p50/p95 without unbounded growth
+        self._latencies = collections.deque(maxlen=1024)
         self._lock = threading.Lock()
         self._cq = None
         if pipeline_depth > 1:
@@ -543,12 +548,15 @@ class MicroBatcher:
                     f"{self._outstanding} requests already pending")
             self._outstanding += 1
         try:
+            t0 = time.monotonic()
             done = threading.Event()
             slot = {}
             self.q.put(((frames, v_len, tokens), slot, done))
             done.wait()
             if "error" in slot:
                 raise slot["error"]
+            with self._lock:
+                self._latencies.append(time.monotonic() - t0)
             return slot["probs"]
         finally:
             with self._lock:
@@ -695,24 +703,70 @@ def make_handler(engine, batcher):
                 raise ValueError("request body must be a JSON object")
             return req
 
+        def _stats(self):
+            with batcher._lock:
+                s = dict(batcher.stats)
+                lats = list(batcher._latencies)
+            s["avg_batch"] = (s["requests"] / s["batches"]
+                              if s["batches"] else 0.0)
+            s["avg_forward_ms"] = (s["forward_s"] / s["batches"] * 1e3
+                                   if s["batches"] else 0.0)
+            # end-to-end request latency (submit -> response) over the
+            # last <=1024 requests
+            if lats:
+                q = np.quantile(lats, [0.5, 0.95, 0.99])
+                s["latency_p50_ms"] = float(q[0]) * 1e3
+                s["latency_p95_ms"] = float(q[1]) * 1e3
+                s["latency_p99_ms"] = float(q[2]) * 1e3
+            # weight-swap observability: which weights are serving and
+            # whether int8 scales are armed to (re)calibrate
+            with engine._weights_lock:
+                s["weights_version"] = engine._weights_version
+                s["int8_calibration_pending"] = \
+                    engine._needs_int8_calibration
+            s["pending"] = batcher.pending()
+            return s
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True, "pending": batcher.pending(),
                                  "epoch": engine.epoch})
             elif self.path == "/stats":
-                with batcher._lock:
-                    s = dict(batcher.stats)
-                s["avg_batch"] = (s["requests"] / s["batches"]
-                                  if s["batches"] else 0.0)
-                s["avg_forward_ms"] = (s["forward_s"] / s["batches"] * 1e3
-                                       if s["batches"] else 0.0)
-                # weight-swap observability: which weights are serving and
-                # whether int8 scales are armed to (re)calibrate
-                with engine._weights_lock:
-                    s["weights_version"] = engine._weights_version
-                    s["int8_calibration_pending"] = \
-                        engine._needs_int8_calibration
-                self._send(200, s)
+                self._send(200, self._stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same stats, so the
+                # daemon scrapes into a standard monitoring stack
+                s = self._stats()
+                lines = []
+
+                def metric(name, kind, value):
+                    lines.append(f"# TYPE videonavqa_{name} {kind}")
+                    lines.append(f"videonavqa_{name} {value}")
+
+                metric("requests_total", "counter", s["requests"])
+                metric("batches_total", "counter", s["batches"])
+                metric("errors_total", "counter", s["errors"])
+                metric("rejected_total", "counter", s["rejected"])
+                metric("deferred_total", "counter", s["deferred"])
+                metric("forward_seconds_total", "counter", s["forward_s"])
+                metric("pending_requests", "gauge", s["pending"])
+                metric("avg_batch_size", "gauge", s["avg_batch"])
+                metric("weights_version", "gauge", s["weights_version"])
+                lines.append(
+                    "# TYPE videonavqa_request_latency_seconds summary")
+                for p in ("50", "95", "99"):
+                    v = s.get(f"latency_p{p}_ms")
+                    if v is not None:
+                        lines.append(
+                            'videonavqa_request_latency_seconds'
+                            '{quantile="0.%s"} %g' % (p, v / 1e3))
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown path"})
 
