@@ -405,6 +405,25 @@ def test_hot_reload_swaps_weights(served):
     except urllib.error.HTTPError as e:
         assert e.code == 400
 
+    # a REFERENCE torch checkpoint hot-reloads through the importer too
+    # (load_any_checkpoint sniffs the format at the serving hot path)
+    from videonavqa_tpu.utils.zoo_export import save_reference_checkpoint
+
+    pt = os.path.join(base, "alt_ref.pt")
+    save_reference_checkpoint(pt, "film_gp_pt", params2, state2, cfg,
+                              epoch=9)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/reload",
+        data=json.dumps({"checkpoint_path": pt}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert json.loads(r.read())["epoch"] == 9
+    status, body = _post(port, {"video": names[0], "question": q})
+    assert status == 200
+    from videonavqa_tpu.datagen.ontology import ANSWER_VOCAB
+
+    assert body["answer"] in ANSWER_VOCAB
+
 
 def test_microbatcher_bucket_aware_dispatch():
     """Dispatch policy, driven with a stub engine (no jax): a saturated
