@@ -424,6 +424,23 @@ def test_hot_reload_swaps_weights(served):
 
     assert body["answer"] in ANSWER_VOCAB
 
+    # a corrupt checkpoint file must 400 (not drop the connection) and
+    # leave the old weights serving
+    bad = os.path.join(base, "corrupt.pt")
+    with open(bad, "wb") as f:
+        f.write(b"\x80\x02 this is not a checkpoint")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/reload",
+        data=json.dumps({"checkpoint_path": bad}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    status, body = _post(port, {"video": names[0], "question": q})
+    assert status == 200 and body["answer"] in ANSWER_VOCAB
+
 
 def test_microbatcher_bucket_aware_dispatch():
     """Dispatch policy, driven with a stub engine (no jax): a saturated

@@ -780,7 +780,10 @@ def make_handler(engine, batcher):
                     req = self._read_json(default={})
                     epoch = engine.reload(req.get("checkpoint_path"))
                     self._send(200, {"ok": True, "epoch": epoch})
-                except (ValueError, KeyError, OSError) as e:
+                except Exception as e:
+                    # a reload must always answer: a corrupt/mismatched
+                    # checkpoint (torch UnpicklingError, shape mismatch,
+                    # BadZipFile, ...) leaves the old weights serving
                     self._send(400, {"error": str(e)})
                 return
             if self.path != "/predict":
