@@ -1,0 +1,29 @@
+#!/bin/bash
+# Queued real-chip probes (run when the axon tunnel is healthy; each is
+# individually time-bounded so a mid-run tunnel wedge can't eat the session).
+# Usage: bash scripts/run_chip_probes.sh [logfile]
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/chip_probes.log}"
+: > "$LOG"
+
+run() {
+  local name="$1" bound="$2"; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
+  timeout "$bound" "$@" 2>&1 | tee -a "$LOG"
+  echo "=== $name exit=$? ===" | tee -a "$LOG"
+}
+
+# tunnel sanity first: a single tiny op, hard 60s bound
+run tunnel-sanity 60 python -c "import jax, jax.numpy as jnp; jnp.ones(4).block_until_ready(); print('tunnel ok', jax.devices())" || exit 1
+
+# 1. static/prequant int8 trunk vs dynamic vs bf16 (batch 32 + batch 1)
+run int8_static_probe 1200 python scripts/int8_static_probe.py --iters 30
+
+# 2. pipelined vs synchronous serving dispatch (cached features)
+run pipeline_serving_probe 1200 python scripts/pipeline_serving_probe.py
+
+# 3. headline bench re-confirm
+run bench 1200 python bench.py
+
+echo "all probes done -> $LOG"
