@@ -644,9 +644,10 @@ def run_training(args, model_name, *, q_only=False, v_only=False, clip_value=Non
         h.class_weights = train_ds.get_class_weights(h.cfg.num_classes)
         print("Using class weights", h.class_weights)
 
-    # v_only_cnn3d's flatten geometry requires the full 35-frame volume
-    bucket = getattr(args, "bucket_frames", False) and model_name != "v_only_cnn3d" \
-        and not q_only
+    # (v_only_cnn3d included: the C3D trunk reproduces the full zero-padded
+    # volume exactly from a trimmed batch via the zero-run splice,
+    # models/v_only_cnn3d.py c3d_trunk_trimmed)
+    bucket = getattr(args, "bucket_frames", False) and not q_only
     # frame_buckets spec for the loaders: "auto" = dataset-optimal DP edges
     fb_spec = "auto" if bucket == "auto" else (True if bucket else None)
     bucket = bool(bucket)

@@ -47,7 +47,16 @@ def init_c3d_trunk(key, cfg):
 
 
 def c3d_trunk(params, state, video, cfg, *, train):
-    """video [B, 35, 160, 208, 3] -> [B, 128]; returns (h, new_state)."""
+    """video [B, T, 160, 208, 3] -> [B, 128]; returns (h, new_state).
+
+    T == cfg.max_num_frames runs the plain full-volume trunk. T < that is a
+    frame-bucket-trimmed batch: the reference semantics still require the
+    FULL zero-padded volume (padded frames flow through conv+BN,
+    models/v_only_cnn3d.py:60-76 + eval/dataset.py:81-89), so the trimmed
+    path reproduces it exactly via the zero-run splice (c3d_trunk_trimmed)
+    while only paying conv FLOPs over the live prefix."""
+    if video.shape[1] < cfg.max_num_frames:
+        return c3d_trunk_trimmed(params, state, video, cfg, train=train)
     dtype = jnp.dtype(cfg.compute_dtype)
     # Reference volume order: (D, H, W) = (160, 208, 35).
     x = jnp.transpose(video, (0, 2, 3, 1, 4))  # [B,160,208,35,3]
@@ -66,6 +75,11 @@ def c3d_trunk(params, state, video, cfg, *, train):
     h = max_pool3d(h, (4, 4, 4))
     h, new_state["bn3"] = batch_norm(params["bn3"], state["bn3"], h, train=train)
 
+    return _c3d_head(params, state, new_state, h, train=train)
+
+
+def _c3d_head(params, state, new_state, h, *, train):
+    """Shared FC tail: [B, 10, 6, W, 128] volume -> [B, 128]."""
     # torch flattens [B, C, D, H, W]; transpose so imported fc6 weights line up.
     h = jnp.transpose(h, (0, 4, 1, 2, 3)).reshape(h.shape[0], -1)
 
@@ -74,6 +88,146 @@ def c3d_trunk(params, state, video, cfg, *, train):
     h = jax.nn.relu(linear(params["fc7"], h))
     h, new_state["bn7"] = batch_norm(params["bn7"], state["bn7"], h, train=train)
     return h, new_state
+
+
+# --- exact frame-bucket trimming via the zero-run splice --------------------
+#
+# The other zoo models skip padded-frame compute for free (per-frame stem +
+# masked reductions), but the C3D trunk is different: the reference feeds the
+# FULL zero-padded [*, 160, 208, 35] volume through conv3d+BN3d, so the padded
+# tail CONTRIBUTES to the output (conv bias + BN shifts make it nonzero) and
+# naive trimming both breaks the fc6 geometry (7680 = 128*10*6*1 needs the
+# 35-wide volume) and changes the numbers.
+#
+# Key fact: every value in the padded tail is input-INDEPENDENT — position w of
+# layer k equals what the same layer produces on an all-zero video, whenever
+# w's receptive cone touches only zero frames. So we run ONE full-width
+# all-zero example (the "zero-run", amortized 1/B of a full clip) alongside the
+# batch, compute each conv only over the live prefix [0, live) plus a 2-column
+# zero-run margin, and splice the zero-run's tail in for positions >= live.
+# BatchNorm train-mode statistics over the conceptual full volume are exact:
+# sum(full) = sum(prefix) + B * sum(zero-run tail). Gradients are exact too —
+# the tail contributions flow through the (shared-weight) zero-run columns,
+# whose broadcast-summed cotangents equal the full computation's per-position
+# sums. Invariant maintained layer to layer: full[w] == zero_run[w] for all
+# w >= live (live grows by the conv radius at each conv, shrinks by the pool
+# stride at each pool, so it never falls behind the smeared boundary).
+
+_W = 3  # time axis of the [B, D=160, H=208, W=T, C] volume
+
+
+def _w_take(xz, lo, hi, B):
+    """Zero-run columns [lo, hi) broadcast to batch size B."""
+    ext = xz[:, :, :, lo:hi, :]
+    return jnp.broadcast_to(ext, (B,) + ext.shape[1:])
+
+
+def _conv_spliced(p, xr, xz, live, dtype):
+    """SAME conv3d over the live prefix (+2 zero-run margin columns) and the
+    full-width zero-run; returns (y_real, y_zero, new_live) with y_real exact
+    on [0, new_live) and full[w] == y_zero[w] for w >= new_live."""
+    r = 1  # all trunk convs are 3x3x3
+    Wf = xz.shape[_W]
+    B = xr.shape[0]
+    xin = jnp.concatenate([xr, _w_take(xz, live, min(live + 2 * r, Wf), B)],
+                          axis=_W)
+    yr = conv3d(p, xin, dtype=dtype)
+    keep = min(live + r, Wf)
+    yr = yr[:, :, :, :keep, :]
+    yz = conv3d(p, xz, dtype=dtype)
+    return yr, yz, keep
+
+
+def _pool_spliced(xr, xz, live, window):
+    """VALID max-pool both tensors; pads the live prefix to a window multiple
+    with zero-run columns so window boundaries line up with the full volume."""
+    s = window[2]
+    Wf = xz.shape[_W]
+    # ceil for partial prefixes, capped at the full pooled width (VALID
+    # pooling drops the remainder window once live reaches Wf)
+    pooled_live = min(-(-live // s), Wf // s)
+    need = pooled_live * s
+    if need > live:
+        xr = jnp.concatenate([xr, _w_take(xz, live, need, xr.shape[0])],
+                             axis=_W)
+    return max_pool3d(xr, window), max_pool3d(xz, window), pooled_live
+
+
+def _bn_spliced(params, state, xr, xz, live, *, train):
+    """BatchNorm whose train-mode statistics are over the conceptual FULL
+    volume concat(prefix, broadcast zero-run tail) — exactly batch_norm() on
+    the untrimmed tensor — applied elementwise to both tensors (the zero-run
+    must be normalized by the REAL batch's statistics to stay spliceable)."""
+    from videonavqa_tpu.ops.norm import EPS, MOMENTUM
+
+    xr32 = xr.astype(jnp.float32)
+    xz32 = xz.astype(jnp.float32)
+    if not train:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    else:
+        B = xr.shape[0]
+        # materialize the conceptual full volume for the statistics so the
+        # reduction is the SAME op sequence as batch_norm on the untrimmed
+        # tensor (an analytic sum(prefix) + B*sum(tail) split drifts ~1e-5
+        # in fp32, which the B-sized head BatchNorms then amplify); the conv
+        # FLOP savings are untouched — this costs bandwidth only, and the
+        # broadcast still routes the tail's cotangents through the zero-run
+        xfull = jnp.concatenate(
+            [xr32, _w_take(xz32, live, xz32.shape[_W], B)], axis=_W)
+        axes = tuple(range(xfull.ndim - 1))
+        mean = jnp.mean(xfull, axis=axes)
+        var = jnp.mean(jnp.square(xfull - mean), axis=axes)
+        n = xfull.size // xfull.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - MOMENTUM) * state["mean"] + MOMENTUM * mean,
+            "var": (1 - MOMENTUM) * state["var"] + MOMENTUM * unbiased,
+        }
+    inv = jnp.reciprocal(jnp.sqrt(var + EPS))
+    yr = ((xr32 - mean) * inv) * params["weight"] + params["bias"]
+    yz = ((xz32 - mean) * inv) * params["weight"] + params["bias"]
+    return yr, yz, new_state
+
+
+def c3d_trunk_trimmed(params, state, video, cfg, *, train):
+    """Exact full-volume C3D result from a frame-trimmed [B, T_c, 160, 208, 3]
+    batch (T_c < cfg.max_num_frames): conv FLOPs scale with T_c, outputs match
+    c3d_trunk on the zero-padded full volume bit-for-tolerance (see
+    tests/test_frame_trimming.py)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    B = video.shape[0]
+    Wf = cfg.max_num_frames
+    xr = jnp.transpose(video, (0, 2, 3, 1, 4))  # [B,160,208,T_c,3]
+    xz = jnp.zeros((1,) + xr.shape[1:3] + (Wf,) + xr.shape[4:], xr.dtype)
+    live = xr.shape[_W]
+    new_state = dict(state)
+
+    xr, xz, new_state["bn_input"] = _bn_spliced(
+        params["bn_input"], state["bn_input"], xr, xz, live, train=train)
+
+    xr, xz, live = _conv_spliced(params["conv1"], xr, xz, live, dtype)
+    xr, xz = jax.nn.relu(xr), jax.nn.relu(xz)
+    xr, xz, live = _pool_spliced(xr, xz, live, (1, 2, 2))
+    xr, xz, new_state["bn1"] = _bn_spliced(
+        params["bn1"], state["bn1"], xr, xz, live, train=train)
+
+    xr, xz, live = _conv_spliced(params["conv2"], xr, xz, live, dtype)
+    xr, xz = jax.nn.relu(xr), jax.nn.relu(xz)
+    xr, xz, live = _pool_spliced(xr, xz, live, (4, 4, 4))
+    xr, xz, new_state["bn2"] = _bn_spliced(
+        params["bn2"], state["bn2"], xr, xz, live, train=train)
+
+    xr, xz, live = _conv_spliced(params["conv3a"], xr, xz, live, dtype)
+    xr, xz = jax.nn.relu(xr), jax.nn.relu(xz)
+    xr, xz, live = _pool_spliced(xr, xz, live, (4, 4, 4))
+    xr, xz, new_state["bn3"] = _bn_spliced(
+        params["bn3"], state["bn3"], xr, xz, live, train=train)
+
+    # materialize the full-geometry volume for the fixed-size flatten
+    if live < xz.shape[_W]:
+        xr = jnp.concatenate([xr, _w_take(xz, live, xz.shape[_W], B)], axis=_W)
+    return _c3d_head(params, state, new_state, xr, train=train)
 
 
 def init_fn(key, cfg):
