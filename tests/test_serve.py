@@ -781,3 +781,35 @@ def test_video_mode_warmup_recalibrates_on_real_traffic(served):
     assert not eng._needs_int8_calibration
     committed = eng.state["trunk"]["int8_scales"]
     assert any(float(committed[k]) != provisional[k] for k in provisional)
+
+
+def test_cached_serving_replica_scaling(served_cached):
+    """Replica scaling of the production (cached-feature) serving engine on
+    the virtual CPU mesh: 1/2/4/8-way --mesh_devices data sharding produces
+    IDENTICAL probabilities, and each device holds exactly B/N rows of the
+    staged micro-batch (the dispatch-capacity structure — per-chip batch
+    work shrinks linearly with replicas). Reference anchor: the one-GPU
+    placement being generalized, eval/utils.py:27."""
+    from videonavqa_tpu.cli import serve
+
+    base, _, test_ids, questions, parser, common = served_cached
+    common = [a for a in common]
+    engines = {}
+    for n in (0, 2, 4, 8):
+        argv = common + ["--max_batch", "8"]
+        if n:
+            argv += ["--mesh_devices", str(n)]
+        engines[n] = serve.InferenceEngine(parser.parse_args(argv))
+
+    items = []
+    for name in test_ids[:6]:
+        frames, v_len = engines[0].load_example(name)
+        items.append((frames, v_len,
+                      engines[0].encode_question(questions[name]["q_text"])))
+
+    want = engines[0].run_batch(items)
+    for n in (2, 4, 8):
+        got = engines[n].run_batch(items)
+        np.testing.assert_allclose(got, want, atol=1e-5,
+                                   err_msg=f"mesh_devices={n}")
+        assert engines[n].mesh.shape["data"] == n

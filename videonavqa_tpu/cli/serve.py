@@ -14,7 +14,7 @@ shapes are pinned to
 [max_batch, T, ...] / [max_batch, 56], where T is 35 or, under
 ``--bucket_frames``, the smallest frame bucket covering the micro-batch's max
 v_len (the headline serving recipe — one executable per bucket, precompiled
-by ``--warmup``; exact for every model except v_only_cnn3d).
+by ``--warmup``; exact for every model, v_only_cnn3d via the zero-run splice).
 
     python -m videonavqa_tpu.cli.serve --model film_attn_pt \
         --data_dir /path/to/data --checkpoint_path e0_film.ckpt \
@@ -35,7 +35,7 @@ by ``--warmup``; exact for every model except v_only_cnn3d).
          old weights). SIGTERM/SIGINT drain gracefully.
 
 Serving kernels: --use_pallas_kernels auto-enables on TPU (2.0x batch-1,
-PERF.md); --int8_trunk is opt-in (1.48x at batch serving) and
+PERF.md); --int8_trunk is opt-in (1.76x at batch serving with static scales) and
 self-calibrates STATIC activation scales on its first micro-batch (during
 --warmup in cached mode), removing the per-batch absmax reductions that
 made dynamic int8 lose at batch 1. In video (online-stem) mode,
@@ -45,7 +45,7 @@ a real stored video (--int8_stem_calibration_video; accuracy caveat in
 PERF.md applies, opt-in).
 
 Production mode — ``--feature_cache true``: serves PRECOMPUTED frozen-stem
-features (the deployment shape behind the 739 videos/s serving bench): the
+features (the deployment shape behind the 873 videos/s serving bench): the
 daemon opens ``features_<split>.fnr`` via the native loader (refusing a
 stale stem fingerprint at startup), skips video decode and the stem
 entirely, and requests address packed examples by id:
@@ -135,6 +135,7 @@ class InferenceEngine:
 
         self.feature_loader = None
         self.stem_is_int8 = False
+        self.stem_fingerprint_hex = None
         if getattr(args, "feature_cache", False):
             if not self.spec.uses_stem:
                 raise SystemExit(
@@ -163,6 +164,10 @@ class InferenceEngine:
                     f"feature cache {path} was extracted with a different "
                     f"stem ({have.hex() if have else 'legacy v1'} != "
                     f"{want.hex()}) — re-extract before serving")
+            # surfaced in /stats so production can audit WHICH stem produced
+            # the features this daemon serves (reference loads the stem per
+            # process with no provenance at all, eval/utils.py:42-51)
+            self.stem_fingerprint_hex = want.hex()
             ensure_built()
             self.feature_loader = VNRBatchLoader(path, 1, shuffle=False,
                                                  mode="test")
@@ -193,11 +198,11 @@ class InferenceEngine:
 
         # length-bucketed batches (the headline serving recipe): trim each
         # micro-batch's time axis to the smallest bucket >= its max v_len —
-        # exact for every model except v_only_cnn3d (fixed FC geometry); one
-        # jitted executable per bucket shape
+        # exact for every model (v_only_cnn3d via the zero-run splice,
+        # models/v_only_cnn3d.py); one jitted executable per bucket shape
         self.frame_buckets = None
         bucket = getattr(args, "bucket_frames", False)
-        if bucket and args.model != "v_only_cnn3d":
+        if bucket:
             from videonavqa_tpu.data.buckets import resolve_frame_buckets
             from videonavqa_tpu.data.pipeline import BatchLoader
 
@@ -724,6 +729,8 @@ def make_handler(engine, batcher):
                 s["weights_version"] = engine._weights_version
                 s["int8_calibration_pending"] = \
                     engine._needs_int8_calibration
+            if getattr(engine, "stem_fingerprint_hex", None):
+                s["stem_fingerprint"] = engine.stem_fingerprint_hex
             s["pending"] = batcher.pending()
             return s
 
