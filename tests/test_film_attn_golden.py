@@ -167,3 +167,88 @@ def test_film_attn_golden_parity():
     got, _ = spec.apply(params, state, batch, CFG, train=False,
                         rng=jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(got), ref, atol=3e-4)
+
+
+def test_film_attn_train_step_golden_parity():
+    """Flagship TRAIN-STEP parity vs torch: identical imported weights,
+    identical batches, 3 full steps of CE-sum loss + global-norm clip(1.0) +
+    Adam(1e-3) — the harness recipe (reference anchor: the optimizer/loss
+    wiring at eval/q_and_v_eval.py:136-139) — must produce the same updated
+    parameters. Closes the gap between the forward goldens and training
+    dynamics (BoW Adam golden covers the optimizer; this covers the whole
+    flagship backward: per-frame masked BN train stats, packed-LSTM film
+    scan, FiLM residual blocks, attention tail)."""
+    from videonavqa_tpu.train.step import make_optimizer, make_train_step
+
+    torch.manual_seed(2)
+    m = _TorchFilmAttn(CFG)
+    m.train()
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()
+          if not k.startswith("conv1x1_layers")}
+    params, state, missing = import_model_checkpoint("film_attn_pt", sd, CFG)
+    assert missing == ["trunk/conv1x1_0", "trunk/conv1x1_1"]
+    for k in range(CFG.num_res_blocks):
+        w = m.conv1x1_layers[k].weight.detach().numpy().transpose(2, 3, 1, 0)
+        params["trunk"][f"conv1x1_{k}"] = {
+            "weight": jnp.asarray(w),
+            "bias": jnp.asarray(m.conv1x1_layers[k].bias.detach().numpy())}
+
+    spec = get_model("film_attn_pt")
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(spec, CFG, optimizer, reduction="sum",
+                           clip_value=1.0, donate=False)
+    opt_t = torch.optim.Adam(m.parameters(), lr=1e-3)
+
+    rng = np.random.RandomState(7)
+    B, T = 3, CFG.max_num_frames
+    for it in range(3):
+        v_lens = np.sort(rng.randint(1, T + 1, size=B))[::-1].copy()
+        q_lens = rng.randint(1, CFG.max_q_len + 1, size=B)
+        v = rng.randn(B, CFG.num_input_channels, 10, 13, T).astype(np.float32) * 0.5
+        for b in range(B):
+            v[b, :, :, :, v_lens[b]:] = 0.0
+        q = rng.randint(1, CFG.vocab_size, size=(B, CFG.max_q_len))
+        for b in range(B):
+            q[b, q_lens[b]:] = 0
+        y = rng.randint(0, CFG.num_classes, size=B)
+
+        batch = {
+            "v_features": jnp.asarray(v.transpose(0, 4, 2, 3, 1)),
+            "question": jnp.asarray(q),
+            "v_len": jnp.asarray(v_lens),
+            "q_len": jnp.asarray(q_lens),
+            "label": jnp.asarray(y),
+        }
+        params, state, opt_state, metrics = step(
+            params, state, opt_state, batch, jax.random.PRNGKey(it))
+
+        opt_t.zero_grad()
+        logits = m(torch.from_numpy(v), torch.from_numpy(q),
+                   torch.from_numpy(v_lens), torch.from_numpy(q_lens))
+        loss = torch.nn.functional.cross_entropy(
+            logits, torch.from_numpy(y), reduction="sum")
+        np.testing.assert_allclose(float(metrics["loss"]), float(loss),
+                                   rtol=1e-4)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(m.parameters(), 1.0)
+        opt_t.step()
+
+    # updated torch weights -> params layout via the tested importer
+    sd2 = {k: v.detach().numpy() for k, v in m.state_dict().items()
+           if not k.startswith("conv1x1_layers")}
+    want, want_state, _ = import_model_checkpoint("film_attn_pt", sd2, CFG)
+    for k in range(CFG.num_res_blocks):
+        w = m.conv1x1_layers[k].weight.detach().numpy().transpose(2, 3, 1, 0)
+        want["trunk"][f"conv1x1_{k}"] = {
+            "weight": jnp.asarray(w),
+            "bias": jnp.asarray(m.conv1x1_layers[k].bias.detach().numpy())}
+
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(want))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-4), params, want)
+    # BN running stats accumulated through train-mode steps must match too
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-4), state, want_state)
