@@ -8,6 +8,8 @@ import urllib.request
 import numpy as np
 import pytest
 
+import jax
+
 
 @pytest.fixture(scope="module")
 def served(tmp_path_factory):
@@ -813,3 +815,48 @@ def test_cached_serving_replica_scaling(served_cached):
         np.testing.assert_allclose(got, want, atol=1e-5,
                                    err_msg=f"mesh_devices={n}")
         assert engines[n].mesh.shape["data"] == n
+
+
+def test_video_serving_cnn3d_buckets_exact(served):
+    """Video-mode serving of v_only_cnn3d with --bucket_frames: the daemon
+    trims the staged batch to the covering bucket and the zero-run splice
+    reproduces the reference's full 35-frame volume — probabilities match
+    the unbucketed engine exactly (the model the buckets used to exclude)."""
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.models import get_model
+    from videonavqa_tpu.utils.checkpoint import save_checkpoint
+    from videonavqa_tpu.cli.common import cfg_from_args
+
+    base, _, _, _ = served
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=2)
+    common = ["--model", "v_only_cnn3d", "--data_dir", base,
+              "--batch_size", "2", "--hidden_size", "128",
+              "--compute_dtype", "float32",
+              "--use_pallas_kernels", "false"]
+    ckpt = os.path.join(base, "serve_cnn3d.npz")
+    if not os.path.exists(ckpt):
+        spec = get_model("v_only_cnn3d")
+        ns0 = parser.parse_args(common + ["--checkpoint_path", ckpt])
+        params, state = spec.init(jax.random.PRNGKey(3),
+                                  cfg_from_args(ns0, "v_only_cnn3d"))
+        save_checkpoint(ckpt, params=params, state=state)
+
+    plain = serve.InferenceEngine(
+        parser.parse_args(common + ["--checkpoint_path", ckpt]))
+    bucketed = serve.InferenceEngine(
+        parser.parse_args(common + ["--checkpoint_path", ckpt,
+                                    "--bucket_frames", "true"]))
+    assert bucketed.frame_buckets
+
+    rng = np.random.RandomState(4)
+    items = []
+    for vl in (5, 3):
+        frames = np.zeros((35, *plain.frame_shape), plain.frame_dtype)
+        frames[:vl] = rng.randint(
+            0, 255, (vl, *plain.frame_shape)).astype(plain.frame_dtype)
+        items.append((frames, vl, [1]))
+    want = plain.run_batch(items)
+    got = bucketed.run_batch(items)
+    assert bucketed.bucket_for(5) < 35  # actually trimmed
+    np.testing.assert_allclose(got, want, atol=1e-4)
