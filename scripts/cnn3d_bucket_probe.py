@@ -65,8 +65,8 @@ def main():
 
     # one full-length clip set, zeros beyond v_len=7: every bucket slice
     # holds the SAME data, so the losses must agree across T (exactness)
-    kv = jax.random.PRNGKey(3)
-    vid = np.asarray(jax.random.uniform(kv, (B, 35, 160, 208, 3), jnp.float32))
+    rng = np.random.RandomState(3)
+    vid = rng.rand(B, 35, 160, 208, 3).astype(np.float32)
     v_len = np.full((B,), 7, np.int32)
     for b in range(B):
         vid[b, v_len[b]:] = 0.0

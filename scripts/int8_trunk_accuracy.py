@@ -1,0 +1,75 @@
+"""Task-accuracy validation of the int8 FiLM trunk on a TRAINED model.
+
+The int8 trunk's accuracy evidence so far is logit drift on random weights
+(~1.4% rel-l2, PERF.md); this trains a small film_gp_pt on a datagen
+dataset and evaluates the SAME checkpoint with the bf16 trunk vs the
+static-calibrated int8 trunk — the strongest validation available without
+the reference's real VGG weights (the same protocol round 2 used for the
+int8 stem). Reference anchor: the eval entry point whose accuracy is at
+stake, eval/q_and_v_test.py:64-142.
+
+Usage: python scripts/int8_trunk_accuracy.py [--epochs 15]
+(runs anywhere; the real chip makes training fast)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--base", type=str,
+                    default=os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), ".acc_data"))
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(args.base), ".xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from videonavqa_tpu.cli import generate_dataset, q_and_v_eval, q_and_v_test
+    from videonavqa_tpu.utils.checkpoint import epoch_path
+
+    if not os.path.exists(os.path.join(args.base, "split.json")):
+        print("# generating dataset", flush=True)
+        generate_dataset.main(["--out", args.base, "--num_houses", "8",
+                               "--trajs_per_house", "4", "--seed", "11"])
+
+    ckpt = os.path.join(args.base, "int8acc.npz")
+    common = ["--model", "film_gp_pt", "--data_dir", args.base,
+              "--batch_size", "16", "--num_res_blocks", "2",
+              "--num_res_block_channels", "256", "--num_input_channels", "512",
+              "--num_tail_channels", "32", "--embed_size", "128",
+              "--hidden_size", "128", "--checkpoint_path", ckpt]
+    final = epoch_path(ckpt, args.epochs - 1)
+    if not os.path.exists(final):
+        print("# training", flush=True)
+        q_and_v_eval.main(common + ["--num_epochs", str(args.epochs)])
+
+    results = {}
+    preds = {}
+    for tag, extra in (("bf16", []), ("int8", ["--int8_trunk", "true"])):
+        print(f"# testing ({tag})", flush=True)
+        s = q_and_v_test.main(
+            [a if a != ckpt else final for a in common] + extra)
+        results[tag] = s
+        preds[tag] = np.asarray(s["y_pred"])
+
+    for tag, s in results.items():
+        print(f"{tag}: acc {s['hit']}/{s['num_examples']} "
+              f"({s['hit'] / max(s['num_examples'], 1):.4f})  "
+              f"f1_w {s['f1_w']:.4f}  loss {s['loss']:.4f}", flush=True)
+    agree = float(np.mean(preds["bf16"] == preds["int8"]))
+    print(f"prediction agreement int8-vs-bf16: {agree:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

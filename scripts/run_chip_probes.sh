@@ -23,7 +23,13 @@ run int8_static_probe 1200 python scripts/int8_static_probe.py --iters 30
 # 2. pipelined vs synchronous serving dispatch (cached features)
 run pipeline_serving_probe 1200 python scripts/pipeline_serving_probe.py
 
-# 3. headline bench re-confirm
-run bench 1200 python bench.py
+# 3. headline bench suite (train + fcache train + serving + batch-1 ms)
+run bench 1800 python bench.py
+
+# 4. cnn3d frame-bucket hybrid (zero-run splice <= 12, pad-to-full above)
+run cnn3d_bucket_probe 1200 python scripts/cnn3d_bucket_probe.py --batch 8
+
+# 5. HTTP serving with multi-process clients (fp8 cache: the production shape)
+run serve_mp_load_bench 1800 python scripts/serve_mp_load_bench.py --seconds 30 --feature_dtype float8_e4m3
 
 echo "all probes done -> $LOG"

@@ -33,3 +33,18 @@ def test_bench_eval_int8_static_calibration(capsys):
     timed static-int8 steps (the serving headline recipe)."""
     p = _run(capsys, ["--mode", "eval", "--int8_trunk", "true"] + TINY)
     assert p["metric"] == "film_attn_pt_eval_fcache_videos_per_sec_per_chip"
+
+
+def test_bench_batch1_ms_contract(capsys):
+    """--report ms_per_video emits the batch-1 serving latency line the
+    driver suite records (bench.run_suite line 4)."""
+    import bench
+
+    # later --batch_size wins over TINY's (argparse last-occurrence)
+    bench.main(["--mode", "eval", "--report", "ms_per_video"] + TINY
+               + ["--batch_size", "1"])
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["metric"] == "film_attn_pt_eval_fcache_b1_ms_per_video"
+    assert payload["unit"] == "ms"
+    assert payload["value"] > 0 and payload["vs_baseline"] > 0

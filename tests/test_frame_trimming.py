@@ -45,9 +45,14 @@ def test_trimmed_equals_full(name):
     np.testing.assert_allclose(np.asarray(trimmed), np.asarray(full), atol=1e-4)
 
 
-@pytest.mark.parametrize("name", ["v_only_cnn3d", "concat3d"])
-@pytest.mark.parametrize("train", [False, True])
-def test_cnn3d_trimmed_equals_full(name, train):
+@pytest.mark.parametrize("name,train,T_c", [
+    ("v_only_cnn3d", False, 12),   # zero-run splice branch (T <= 16)
+    ("v_only_cnn3d", True, 12),
+    ("v_only_cnn3d", False, 24),   # pad-to-full branch (splice crossover)
+    ("concat3d", False, 12),
+    ("concat3d", True, 12),
+])
+def test_cnn3d_trimmed_equals_full(name, train, T_c):
     """The C3D trunk's zero-run splice: a frame-trimmed batch must reproduce
     the reference's FULL zero-padded-volume computation exactly — logits AND
     (train mode) the BatchNorm running-stat updates — because padded frames
@@ -59,7 +64,7 @@ def test_cnn3d_trimmed_equals_full(name, train):
     key = jax.random.PRNGKey(0)
     params, state = spec.init(key, cfg)
 
-    B, T_full, T_c = 2, 35, 12
+    B, T_full = 2, 35
     v_len = np.array([7, 3])
     video = np.array(jax.random.uniform(key, (B, T_full, 160, 208, 3)))
     for b in range(B):

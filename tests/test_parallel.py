@@ -300,3 +300,39 @@ def test_int8_trunk_dp_eval_matches_single_device():
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(m1["preds"]), np.asarray(m2["preds"]))
+
+
+def test_graft_entry_dryrun_wedge_drill():
+    """The gate's worst-case drill (round-3 verdict): one inner attempt
+    wedges at a collective rendezvous (simulated: the check hangs until the
+    orchestrator's attempt bound kills it), and the gate must still finish
+    green by retrying ONLY the wedged check — without discarding the checks
+    that already passed, and inside a tight budget."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    marker = os.path.join(tempfile.mkdtemp(prefix="wedge_"), "hit")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # force the orchestration (subprocess) path
+    env.update({
+        "_VNQA_DRYRUN_CHECKS": "train,eval",  # keep the drill cheap
+        "_VNQA_DRYRUN_WEDGE": "eval",
+        "_VNQA_DRYRUN_WEDGE_MARKER": marker,
+        "_VNQA_DRYRUN_ATTEMPT_TIMEOUT": "60",
+        "_VNQA_DRYRUN_BUDGET": "420",
+    })
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo, capture_output=True, text=True, timeout=900, env=env)
+    dt = time.time() - t0
+    assert r.returncode == 0, f"rc={r.returncode}\n" + (r.stdout + r.stderr)[-2000:]
+    assert os.path.exists(marker), "the wedge hook never fired"
+    assert "dryrun check 'eval' attempt 1" in r.stdout  # killed + retried
+    assert "all checks passed ['train', 'eval']" in r.stdout
+    assert dt < 480, f"drill took {dt:.0f}s"

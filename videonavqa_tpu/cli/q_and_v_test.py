@@ -11,7 +11,7 @@ def main(argv=None):
     args = build_q_and_v_parser().parse_args(argv)
     if not args.model:
         raise SystemExit("--model is required")
-    run_test(args, args.model)
+    return run_test(args, args.model)
 
 
 if __name__ == "__main__":

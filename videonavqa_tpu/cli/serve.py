@@ -67,7 +67,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from videonavqa_tpu.cli.common import build_q_and_v_parser, cfg_from_args, load_stem
+from videonavqa_tpu.cli.common import cfg_from_args, load_stem
+from videonavqa_tpu.cli.common import build_q_and_v_parser as _build_base_parser
 from videonavqa_tpu.data import DataPaths, load_json
 from videonavqa_tpu.data.pipeline import _decode_video, subsample_frames
 from videonavqa_tpu.datagen.encode import tokenize
@@ -77,6 +78,20 @@ from videonavqa_tpu.utils import checkpoint as ckpt
 from videonavqa_tpu.utils import constants as C
 
 CLASS_TO_ANSWER = {v: k for k, v in ANSWER_VOCAB.items()}
+
+
+def build_q_and_v_parser():
+    """The training harness's flag surface, with --model widened to the
+    video-only zoo members: the training CLIs keep the reference's exact
+    choices per harness (eval/q_and_v_eval.py:31 vs eval/v_only_*_eval.py),
+    but the daemon is an extra surface the reference lacks and serves every
+    video-consuming model through the same engine (batch['video'] path)."""
+    parser = _build_base_parser()
+    for action in parser._actions:
+        if action.dest == "model":
+            action.choices = sorted(set(action.choices)
+                                    | {"v_only_cnn3d", "v_only_cnn2d_lstm"})
+    return parser
 
 
 class Overloaded(RuntimeError):

@@ -52,11 +52,21 @@ def c3d_trunk(params, state, video, cfg, *, train):
     T == cfg.max_num_frames runs the plain full-volume trunk. T < that is a
     frame-bucket-trimmed batch: the reference semantics still require the
     FULL zero-padded volume (padded frames flow through conv+BN,
-    models/v_only_cnn3d.py:60-76 + eval/dataset.py:81-89), so the trimmed
-    path reproduces it exactly via the zero-run splice (c3d_trunk_trimmed)
-    while only paying conv FLOPs over the live prefix."""
-    if video.shape[1] < cfg.max_num_frames:
-        return c3d_trunk_trimmed(params, state, video, cfg, train=train)
+    models/v_only_cnn3d.py:60-76 + eval/dataset.py:81-89), so short buckets
+    reproduce it exactly via the zero-run splice (c3d_trunk_trimmed) paying
+    conv FLOPs only over the live prefix, while long buckets zero-pad back
+    to the full volume on device (also exact, trivially). The crossover is
+    measured: on the v5e at batch 8 the splice is 1.39x at T=8 / 1.21x at
+    T=12 but the zero-run + splice overhead loses from T=16 up
+    (scripts/cnn3d_bucket_probe.py, PERF.md) — the hybrid is never slower
+    than the full volume (pad path: 1.01x)."""
+    T = video.shape[1]
+    if T < cfg.max_num_frames:
+        if T <= _SPLICE_MAX_T:
+            return c3d_trunk_trimmed(params, state, video, cfg, train=train)
+        video = jnp.pad(
+            video, ((0, 0), (0, cfg.max_num_frames - T),
+                    (0, 0), (0, 0), (0, 0)))
     dtype = jnp.dtype(cfg.compute_dtype)
     # Reference volume order: (D, H, W) = (160, 208, 35).
     x = jnp.transpose(video, (0, 2, 3, 1, 4))  # [B,160,208,35,3]
@@ -114,6 +124,13 @@ def _c3d_head(params, state, new_state, h, *, train):
 # stride at each pool, so it never falls behind the smeared boundary).
 
 _W = 3  # time axis of the [B, D=160, H=208, W=T, C] volume
+
+# Largest bucket the zero-run splice handles; longer trimmed batches pad back
+# to the full volume instead (measured on the v5e at batch 8 — splice 1.39x
+# at T=8, 1.21x at T=12, 0.96x at T=16, worse beyond: the zero-run example +
+# per-layer splice ops cost ~14 ms fixed, so long buckets don't recoup it;
+# the pad path holds 1.01x everywhere, scripts/cnn3d_bucket_probe.py).
+_SPLICE_MAX_T = 12
 
 
 def _w_take(xz, lo, hi, B):
