@@ -40,8 +40,9 @@ def main(argv=None):
 
     if not os.path.exists(os.path.join(args.base, "split.json")):
         print("# generating dataset", flush=True)
-        generate_dataset.main(["--out", args.base, "--num_houses", "8",
-                               "--trajs_per_house", "4", "--seed", "11"])
+        generate_dataset.main(["--out", args.base, "--num_houses", "14",
+                               "--trajs_per_house", "16", "--seed", "11",
+                               "--workers", "2"])
 
     ckpt = os.path.join(args.base, "int8acc.npz")
     common = ["--model", "film_gp_pt", "--data_dir", args.base,
@@ -68,8 +69,60 @@ def main(argv=None):
               f"({s['hit'] / max(s['num_examples'], 1):.4f})  "
               f"f1_w {s['f1_w']:.4f}  loss {s['loss']:.4f}", flush=True)
     agree = float(np.mean(preds["bf16"] == preds["int8"]))
-    print(f"prediction agreement int8-vs-bf16: {agree:.4f}", flush=True)
+    print(f"prediction agreement int8(dynamic)-vs-bf16: {agree:.4f}",
+          flush=True)
+    static_agreement(args, final, common)
 
+
+
+def static_agreement(args, final, common):
+    """STATIC-calibrated int8 (the serving daemon's exact recipe: first
+    micro-batch records absmax scales + prequantized kernels) vs the bf16
+    engine, on identical frames + real questions: prediction agreement over
+    the test split."""
+    import json
+
+    import numpy as np
+
+    from videonavqa_tpu.cli import serve
+    from videonavqa_tpu.data import DataPaths, load_json
+
+    paths = DataPaths(args.base)
+    split = load_json(paths.split_file)
+    questions = {}
+    qdir = os.path.join(args.base, "questions")
+    for f in os.listdir(qdir):
+        data = json.load(open(os.path.join(qdir, f)))
+        house = f.split(".")[0]
+        for tid, entry in data.items():
+            questions["%s_%04d" % (house, int(tid))] = entry
+
+    parser = serve.build_q_and_v_parser()
+    parser.add_argument("--max_batch", type=int, default=16)
+    argv = [a if a != os.path.join(args.base, "int8acc.npz") else final
+            for a in common] + ["--use_pallas_kernels", "false"]
+    eng_bf16 = serve.InferenceEngine(parser.parse_args(argv))
+    eng_int8 = serve.InferenceEngine(
+        parser.parse_args(argv + ["--int8_trunk", "true"]))
+
+    items = []
+    for name in sorted(split["test"]):
+        frames, vl = eng_bf16.load_video(name + ".mp4")
+        tokens = eng_bf16.encode_question(questions[name]["q_text"]) \
+            if name in questions else [1]
+        items.append((frames, vl, tokens))
+
+    B = 16
+    eng_int8.run_batch(items[:B])  # calibration batch (f32, records scales)
+    pb, pi = [], []
+    for i in range(0, len(items), B):
+        chunk = items[i:i + B]
+        pb.append(np.argmax(eng_bf16.run_batch(chunk), axis=-1))
+        pi.append(np.argmax(eng_int8.run_batch(chunk), axis=-1))
+    pb, pi = np.concatenate(pb), np.concatenate(pi)
+    agree = float(np.mean(pb == pi))
+    print(f"prediction agreement STATIC-int8-vs-bf16 (serving recipe, "
+          f"{len(pb)} test examples): {agree:.4f}", flush=True)
 
 if __name__ == "__main__":
     main()
