@@ -45,7 +45,7 @@ a real stored video (--int8_stem_calibration_video; accuracy caveat in
 PERF.md applies, opt-in).
 
 Production mode — ``--feature_cache true``: serves PRECOMPUTED frozen-stem
-features (the deployment shape behind the 873 videos/s serving bench): the
+features (the deployment shape behind the 1004 videos/s serving bench): the
 daemon opens ``features_<split>.fnr`` via the native loader (refusing a
 stale stem fingerprint at startup), skips video decode and the stem
 entirely, and requests address packed examples by id:

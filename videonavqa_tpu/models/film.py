@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from videonavqa_tpu.models.base import register_model
 from videonavqa_tpu.ops import initializers as init
 from videonavqa_tpu.ops.conv import conv2d
-from videonavqa_tpu.ops.linear import embedding, linear
+from videonavqa_tpu.ops.linear import embedding, linear, linear_chw
 from videonavqa_tpu.ops.lstm import last_valid, lstm, lstm_cell
 from videonavqa_tpu.ops.masking import attn_frame_mask, length_mask, mask_invalid
 from videonavqa_tpu.ops.norm import frame_batch_norm, init_bn
@@ -109,13 +109,14 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
             # every trunk kernel) disappears
             conv = lambda p, x, name: conv2d_int8_prequant(
                 wqs[name]["wq"], wqs[name]["scale"], p.get("bias"), x,
-                scales[name])
+                scales[name], out_dtype=dtype)
         else:
-            conv = lambda p, x, name: conv2d_int8_static(p, x, scales[name])
+            conv = lambda p, x, name: conv2d_int8_static(p, x, scales[name],
+                                                         out_dtype=dtype)
     elif int8:
         from videonavqa_tpu.ops.quant import conv2d_int8_dynamic
 
-        conv = lambda p, x, name: conv2d_int8_dynamic(p, x)
+        conv = lambda p, x, name: conv2d_int8_dynamic(p, x, out_dtype=dtype)
     else:
         conv = lambda p, x, name: conv2d(p, x, dtype=dtype)
 
@@ -132,7 +133,12 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     def block(k, x, p1x1, p3x3, alphas, betas):
         res = jax.nn.relu(conv(p1x1, x, f"conv1x1_{k}"))
         y = conv(p3x3, res, f"conv3x3_{k}")
-        y = jax.nn.relu(alphas[:, None, None, :] * y + betas[:, None, None, :])
+        # FiLM values are f32; cast to the conv output dtype so the affine +
+        # residual chain doesn't silently upcast every block's [B*T,10,13,C]
+        # tensor to f32 (2x the inter-op HBM traffic of the whole trunk).
+        a = alphas.astype(y.dtype)[:, None, None, :]
+        b = betas.astype(y.dtype)[:, None, None, :]
+        y = jax.nn.relu(a * y + b)
         return y + res
 
     if cfg.remat_film_blocks and not calibrate:
@@ -205,13 +211,6 @@ def film_values_over_frames(params, q, q_lens, num_frames, cfg, *, padding_idx,
     return jax.nn.relu(linear(params["decoder"], enc))
 
 
-def _flatten_chw(x):
-    """[..., H, W, C] -> [..., C*H*W] in torch (C, H, W) memory order so imported
-    tail weights line up (the reference flattens NCHW views)."""
-    perm = tuple(range(x.ndim - 3)) + (x.ndim - 1, x.ndim - 3, x.ndim - 2)
-    return jnp.transpose(x, perm).reshape(*x.shape[:-3], -1)
-
-
 # ---------------------------------------------------------------------------
 # film_gp_pt — global temporal max-pool tail
 # ---------------------------------------------------------------------------
@@ -242,13 +241,16 @@ def apply_film_gp(params, state, batch, cfg, *, train=False, rng=None):
 
     x = jax.nn.relu(conv2d(params["c1x1_tail"], x.reshape(B * T, *x.shape[2:]),
                            dtype=jnp.dtype(cfg.compute_dtype)))
-    x = _flatten_chw(x).reshape(B, T, -1)
+    x = x.reshape(B, T, *x.shape[1:])
     # Zero-pad invalid frames then global max over frames — matches the
     # reference's cat of zero-padded per-frame rows + max (film_gp:230-235);
-    # post-ReLU values are >= 0 so the included zeros are faithful.
+    # post-ReLU values are >= 0 so the included zeros are faithful. The max
+    # commutes with the torch-CHW feature flatten, so pooling runs on the
+    # channels-last tensor and linear_chw supplies the weight-order fixup
+    # (no activation transpose).
     x = mask_invalid(x, v_lens)
-    pooled = jnp.max(x, axis=1)
-    return linear(params["out_linear"], pooled), {"trunk": trunk_state}
+    pooled = jnp.max(x, axis=1)  # [B, 10, 13, tail_ch]
+    return linear_chw(params["out_linear"], pooled), {"trunk": trunk_state}
 
 
 register_model("film_gp_pt", init_film_gp, apply_film_gp,
@@ -288,7 +290,10 @@ def apply_film_attn(params, state, batch, cfg, *, train=False, rng=None):
         params["trunk"], state["trunk"], feats, films, frame_mask, cfg, train=train)
 
     # Per-frame feature embedding; invalid frames zero (F.pad, :245-247,253-256).
-    all_features = linear(params["fc_embed_attn"], _flatten_chw(x))  # [B,T,at]
+    # linear_chw contracts the channels-last trunk output directly against
+    # the CHW-ordered weight — the activation transpose this replaces was
+    # 4.4 ms/step at the flagship batch-32 serving shape (flatten_probe.py).
+    all_features = linear_chw(params["fc_embed_attn"], x)  # [B,T,at]
     all_features = mask_invalid(all_features, v_lens)
 
     # Precomputed per-frame scores: fc_attn_1 on valid entries only; invalid

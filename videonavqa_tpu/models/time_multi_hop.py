@@ -30,10 +30,10 @@ import jax
 import jax.numpy as jnp
 
 from videonavqa_tpu.models.base import register_model
-from videonavqa_tpu.models.film import _flatten_chw, film_trunk, init_film_trunk
+from videonavqa_tpu.models.film import film_trunk, init_film_trunk
 from videonavqa_tpu.ops import initializers as init
 from videonavqa_tpu.ops.conv import conv2d
-from videonavqa_tpu.ops.linear import embedding, linear
+from videonavqa_tpu.ops.linear import embedding, linear, linear_chw
 from videonavqa_tpu.ops.lstm import last_valid, lstm
 from videonavqa_tpu.ops.masking import length_mask, mask_invalid
 from videonavqa_tpu.ops.norm import init_layer_norm, layer_norm
@@ -115,10 +115,13 @@ def apply_fn(params, state, batch, cfg, *, train=False, rng=None):
 
     x = jax.nn.relu(conv2d(params["c1x1_tail"], x.reshape(B * T, *x.shape[2:]),
                            dtype=jnp.dtype(cfg.compute_dtype)))
-    x = _flatten_chw(x).reshape(B, T, -1)
+    x = x.reshape(B, T, *x.shape[1:])
+    # max over frames commutes with the torch-CHW flatten; pool channels-last
+    # and let linear_chw supply the weight-order fixup (no activation
+    # transpose — see ops/linear.py linear_chw).
     x = mask_invalid(x, v_lens)
-    pooled = jnp.max(x, axis=1)
-    return linear(params["out_linear"], pooled), {"trunk": trunk_state}
+    pooled = jnp.max(x, axis=1)  # [B, 10, 13, tail_ch]
+    return linear_chw(params["out_linear"], pooled), {"trunk": trunk_state}
 
 
 register_model("time_multi_hop", init_fn, apply_fn,

@@ -27,6 +27,32 @@ def linear(params, x, *, dtype=None):
     return y
 
 
+def linear_chw(params, x):
+    """``linear(params, flatten_chw(x))`` without transposing the activation.
+
+    The reference tails flatten conv activations in torch NCHW memory order
+    before their Linear (e.g. models/film_attn_pt_stem.py:245,
+    view(batch_size, -1) over a [B, C, H, W] tensor), so imported weights
+    expect (C, H, W)-ordered features. Flattening channels-last activations
+    that way is a physical transpose of the step's LARGEST tensor (~600 MB
+    at the flagship batch-32 serving shape, measured 4.4 ms/step on v5e —
+    scripts/flatten_probe.py). Contracting directly against the weight
+    re-laid as [out, C, H, W] is mathematically identical (same dot
+    products; accumulation order differs at ~1e-6 rel) and lets XLA
+    transpose the 17M-param weight instead: 2.7-4x faster at that shape.
+
+    x: [..., H, W, C]; weight: [out, C*H*W] (torch flatten order).
+    """
+    H, W, C = x.shape[-3:]
+    w = params["weight"].reshape(-1, C, H, W)
+    y = jnp.einsum("...hwc,ochw->...o", x, w,
+                   preferred_element_type=jnp.float32)
+    b = params.get("bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def embedding(params, tokens, *, padding_idx: int | None = None):
     """Token embedding lookup; ``weight`` is [vocab, dim].
 

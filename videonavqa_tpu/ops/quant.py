@@ -40,13 +40,18 @@ def quantize_act_dynamic(x):
 
 
 def conv2d_int8_prequant(wq, w_scale, bias, x, act_absmax, *, stride=(1, 1),
-                         padding="SAME"):
+                         padding="SAME", out_dtype=jnp.float32):
     """int8 conv2d in its serving steady state: weights are PRE-QUANTIZED
     (int8 kernel + per-out-channel scales recorded by the calibration pass,
     models/film.py) and the activation absmax is pre-calibrated. Per step,
     only the activation quantize + the int8 conv remain — no weight-tensor
     round/clip passes, and the trunk's weight HBM reads halve (int8 vs
-    bf16/f32 re-read + re-quantize every call)."""
+    bf16/f32 re-read + re-quantize every call).
+
+    ``out_dtype``: dequant/bias run in f32, then the output is stored at this
+    dtype. bf16 halves the inter-op HBM traffic of the trunk's elementwise
+    chain; its ~2^-8 rounding is the same order as the int8 quantization
+    error the next conv applies anyway."""
     sx = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                   -127, 127).astype(jnp.int8)
@@ -56,10 +61,11 @@ def conv2d_int8_prequant(wq, w_scale, bias, x, act_absmax, *, stride=(1, 1),
     y = acc.astype(jnp.float32) * (sx * w_scale)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    return y
+    return y.astype(out_dtype)
 
 
-def conv2d_int8_static(params, x, act_absmax, *, stride=(1, 1), padding="SAME"):
+def conv2d_int8_static(params, x, act_absmax, *, stride=(1, 1), padding="SAME",
+                       out_dtype=jnp.float32):
     """int8 conv2d with a PRE-CALIBRATED per-tensor activation absmax (a
     scalar recorded by a calibration forward): no per-batch reduction, which
     is what makes dynamic int8 latency-bound at batch 1. Out-of-range
@@ -76,10 +82,11 @@ def conv2d_int8_static(params, x, act_absmax, *, stride=(1, 1), padding="SAME"):
     b = params.get("bias")
     if b is not None:
         y = y + b.astype(jnp.float32)
-    return y
+    return y.astype(out_dtype)
 
 
-def conv2d_int8_dynamic(params, x, *, stride=(1, 1), padding="SAME"):
+def conv2d_int8_dynamic(params, x, *, stride=(1, 1), padding="SAME",
+                        out_dtype=jnp.float32):
     """Drop-in int8 conv2d: quantize weights (per-out-channel) and
     activations (per-tensor, dynamic) in-graph, accumulate int32, dequantize,
     add bias in f32. Returns f32."""
@@ -92,4 +99,4 @@ def conv2d_int8_dynamic(params, x, *, stride=(1, 1), padding="SAME"):
     b = params.get("bias")
     if b is not None:
         y = y + b.astype(jnp.float32)
-    return y
+    return y.astype(out_dtype)
