@@ -32,4 +32,10 @@ run cnn3d_bucket_probe 1200 python scripts/cnn3d_bucket_probe.py --batch 8
 # 5. HTTP serving with multi-process clients (fp8 cache: the production shape)
 run serve_mp_load_bench 1800 python scripts/serve_mp_load_bench.py --seconds 30 --feature_dtype float8_e4m3
 
+# 6. tail flatten: torch-order transpose+matmul vs linear_chw einsum
+run flatten_probe 600 python scripts/flatten_probe.py
+
+# 7. serving eval-step component anatomy (pallas + static int8, B=1 and 32)
+run serving_step_anatomy 1200 python scripts/serving_step_anatomy.py
+
 echo "all probes done -> $LOG"
