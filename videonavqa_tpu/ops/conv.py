@@ -20,16 +20,23 @@ _DN3D = ("NDHWC", "DHWIO", "NDHWC")
 def conv2d(params, x, *, stride=(1, 1), padding="SAME", dtype=None):
     """dtype selects the MXU compute precision (bf16 on TPU); the MXU still
     accumulates partial products in f32 internally, and omitting
-    preferred_element_type keeps forward/transpose dtypes consistent for AD."""
+    preferred_element_type keeps forward/transpose dtypes consistent for AD.
+
+    1x1 stride-1 convs ARE channel matmuls; lowering them via dot_general
+    instead of lax.conv avoids the conv tiler's spatial padding at odd grids
+    (10x13 trunk planes: ~16% faster, scripts/trunk_gap_probe.py)."""
     w = params["weight"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
     elif x.dtype != w.dtype:
         w = w.astype(x.dtype)
-    y = lax.conv_general_dilated(
-        x, w, window_strides=stride, padding=padding,
-        dimension_numbers=_DN2D,
-    )
+    if w.shape[0] == 1 and w.shape[1] == 1 and tuple(stride) == (1, 1):
+        y = lax.dot_general(x, w[0, 0], (((x.ndim - 1,), (0,)), ((), ())))
+    else:
+        y = lax.conv_general_dilated(
+            x, w, window_strides=stride, padding=padding,
+            dimension_numbers=_DN2D,
+        )
     b = params.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)

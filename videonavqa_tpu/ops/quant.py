@@ -22,6 +22,19 @@ from jax import lax
 from videonavqa_tpu.ops.conv import _DN2D
 
 
+def _conv_i8(xq, wq, stride, padding):
+    """int8 conv -> int32; 1x1 stride-1 kernels lower as dot_general (the
+    conv tiler pads odd spatial grids — 2.59 vs 2.18 ms at the [1120,10,13,
+    1024] trunk shape, scripts/trunk_gap_probe.py)."""
+    if wq.shape[0] == 1 and wq.shape[1] == 1 and tuple(stride) == (1, 1):
+        return lax.dot_general(xq, wq[0, 0],
+                               (((xq.ndim - 1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    return lax.conv_general_dilated(
+        xq, wq, window_strides=stride, padding=padding,
+        dimension_numbers=_DN2D, preferred_element_type=jnp.int32)
+
+
 def quantize_weight_channelwise(w):
     """HWIO kernel -> (int8 kernel, [Cout] scales), symmetric absmax."""
     absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True)
@@ -55,9 +68,7 @@ def conv2d_int8_prequant(wq, w_scale, bias, x, act_absmax, *, stride=(1, 1),
     sx = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                   -127, 127).astype(jnp.int8)
-    acc = lax.conv_general_dilated(
-        xq, wq, window_strides=stride, padding=padding,
-        dimension_numbers=_DN2D, preferred_element_type=jnp.int32)
+    acc = _conv_i8(xq, wq, stride, padding)
     y = acc.astype(jnp.float32) * (sx * w_scale)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
@@ -75,9 +86,7 @@ def conv2d_int8_static(params, x, act_absmax, *, stride=(1, 1), padding="SAME",
     sx = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                   -127, 127).astype(jnp.int8)
-    acc = lax.conv_general_dilated(
-        xq, wq, window_strides=stride, padding=padding,
-        dimension_numbers=_DN2D, preferred_element_type=jnp.int32)
+    acc = _conv_i8(xq, wq, stride, padding)
     y = acc.astype(jnp.float32) * (sx * sw)
     b = params.get("bias")
     if b is not None:
@@ -92,9 +101,7 @@ def conv2d_int8_dynamic(params, x, *, stride=(1, 1), padding="SAME",
     add bias in f32. Returns f32."""
     wq, sw = quantize_weight_channelwise(params["weight"])
     xq, sx = quantize_act_dynamic(x)
-    acc = lax.conv_general_dilated(
-        xq, wq, window_strides=stride, padding=padding,
-        dimension_numbers=_DN2D, preferred_element_type=jnp.int32)
+    acc = _conv_i8(xq, wq, stride, padding)
     y = acc.astype(jnp.float32) * (sx * sw)
     b = params.get("bias")
     if b is not None:
