@@ -167,3 +167,83 @@ def test_lstm_pallas_wiring_matches_models():
                                        atol=1e-4, err_msg=model)
     finally:
         setattr(mod, name, orig)
+
+
+def test_int8_matmul_fused_matches_prequant():
+    """The fused quantize->int8 matmul->dequant kernel matches
+    ops.quant.conv2d_int8_prequant on a 1x1 kernel to float round-off (the
+    integer quantize/matmul is exact; the f32 dequant epilogue may fuse to
+    FMA differently across the two XLA programs), with the ReLU folded."""
+    from videonavqa_tpu.kernels.int8_matmul_pallas import matmul_int8_fused_pallas
+    from videonavqa_tpu.ops.quant import (
+        conv2d_int8_prequant, quantize_weight_channelwise)
+
+    key = jax.random.PRNGKey(3)
+    cin, cout = 16, 24
+    x = jax.random.normal(key, (2, 6, 13, cin), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (1, 1, cin, cout)) * 0.3
+    bias = jax.random.normal(jax.random.PRNGKey(5), (cout,))
+    wq, sw = quantize_weight_channelwise(w)
+    absmax = jnp.max(jnp.abs(x)) * 1.25
+
+    ref = jax.nn.relu(conv2d_int8_prequant(wq, sw, bias, x, absmax,
+                                           out_dtype=jnp.float32))
+    got = matmul_int8_fused_pallas(x, wq[0, 0], sw, bias, absmax, relu=True,
+                                   out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # bias=None and a row count that does not divide block_rows (remainder
+    # grid block) both work
+    ref0 = jax.nn.relu(conv2d_int8_prequant(wq, sw, None, x, absmax,
+                                            out_dtype=jnp.float32))
+    got0 = matmul_int8_fused_pallas(x, wq[0, 0], sw, None, absmax, relu=True,
+                                    out_dtype=jnp.float32, block_rows=64,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_int8_fused_1x1_trunk_wiring():
+    """film_gp serving with calibrated int8 trunk + use_pallas_kernels routes
+    the 1x1 convs through the fused kernel; logits must match the XLA
+    prequant path."""
+    cfg = ModelConfig(model="film_gp_pt", num_res_blocks=2,
+                      num_res_block_channels=16, num_input_channels=12,
+                      num_tail_channels=4, embed_size=8, hidden_size=8,
+                      max_num_frames=5, max_q_len=9, compute_dtype="float32")
+    spec = get_model("film_gp_pt")
+    key = jax.random.PRNGKey(0)
+    params, state = spec.init(key, cfg)
+    B, T = 3, 4
+    batch = {
+        "v_features": jax.random.normal(key, (B, T, 10, 13, 12)),
+        "question": jax.random.randint(key, (B, 9), 1, cfg.vocab_size),
+        "v_len": jnp.array([4, 2, 3]),
+        "q_len": jnp.array([9, 4, 6]),
+    }
+    cal_cfg = ModelConfig(**{**cfg.__dict__, "use_int8_trunk": True,
+                             "int8_trunk_calibrate": True})
+    _, cal_state = spec.apply(params, state, batch, cal_cfg, train=False,
+                              rng=jax.random.PRNGKey(1))
+
+    cfg8 = ModelConfig(**{**cfg.__dict__, "use_int8_trunk": True})
+    ref, _ = spec.apply(params, cal_state, batch, cfg8, train=False,
+                        rng=jax.random.PRNGKey(1))
+
+    import videonavqa_tpu.kernels.int8_matmul_pallas  # noqa: F401 (register)
+
+    patches = [
+        _force_interpret("videonavqa_tpu.kernels.int8_matmul_pallas",
+                         "matmul_int8_fused_pallas"),
+        _force_interpret("videonavqa_tpu.kernels.film_reencode_pallas",
+                         "film_reencode_pallas"),
+    ]
+    try:
+        cfg8p = ModelConfig(**{**cfg8.__dict__, "use_pallas_kernels": True})
+        got, _ = spec.apply(params, cal_state, batch, cfg8p, train=False,
+                            rng=jax.random.PRNGKey(1))
+    finally:
+        for mod, name, orig in patches:
+            setattr(mod, name, orig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

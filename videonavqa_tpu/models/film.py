@@ -81,6 +81,7 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     calibrate = getattr(cfg, "int8_trunk_calibrate", False) and not train
     int8 = (getattr(cfg, "use_int8_trunk", False) and not train
             and not calibrate)
+    conv1x1_relu = None
     scales = state.get("int8_scales") if int8 else None
     if calibrate:
         from videonavqa_tpu.ops.quant import quantize_weight_channelwise
@@ -110,6 +111,19 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
             conv = lambda p, x, name: conv2d_int8_prequant(
                 wqs[name]["wq"], wqs[name]["scale"], p.get("bias"), x,
                 scales[name], out_dtype=dtype)
+            if getattr(cfg, "use_pallas_kernels", False):
+                # 1x1 convs are HBM-bound in the XLA int8 path (int8 copy +
+                # int32 accumulator round-trip HBM); the fused kernel keeps
+                # quantize/matmul/dequant/relu in VMEM (~4x less traffic).
+                from videonavqa_tpu.kernels.int8_matmul_pallas import (
+                    matmul_int8_fused_pallas,
+                )
+
+                def conv1x1_relu(p, x, name):
+                    return matmul_int8_fused_pallas(
+                        x, wqs[name]["wq"][0, 0], wqs[name]["scale"],
+                        p.get("bias"), scales[name], relu=True,
+                        out_dtype=dtype)
         else:
             conv = lambda p, x, name: conv2d_int8_static(p, x, scales[name],
                                                          out_dtype=dtype)
@@ -119,6 +133,9 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
         conv = lambda p, x, name: conv2d_int8_dynamic(p, x, out_dtype=dtype)
     else:
         conv = lambda p, x, name: conv2d(p, x, dtype=dtype)
+
+    if conv1x1_relu is None:
+        conv1x1_relu = lambda p, x, name: jax.nn.relu(conv(p, x, name))
 
     x = conv(params["conv_init"], feats.reshape(B * T, *feats.shape[2:]),
              "conv_init")
@@ -131,7 +148,7 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     fv = film_values.reshape(B * T, -1)
 
     def block(k, x, p1x1, p3x3, alphas, betas):
-        res = jax.nn.relu(conv(p1x1, x, f"conv1x1_{k}"))
+        res = conv1x1_relu(p1x1, x, f"conv1x1_{k}")
         y = conv(p3x3, res, f"conv3x3_{k}")
         # FiLM values are f32; cast to the conv output dtype so the affine +
         # residual chain doesn't silently upcast every block's [B*T,10,13,C]
