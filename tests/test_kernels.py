@@ -247,3 +247,44 @@ def test_int8_fused_1x1_trunk_wiring():
         for mod, name, orig in patches:
             setattr(mod, name, orig)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_int8_matmul_fused_requant_chain():
+    """next_absmax: the fused kernel's int8 second output chains into
+    conv2d_int8_preq_act; the pair must match the unfused prequant path
+    (quantize of the f32 epilogue value vs the stored output)."""
+    from videonavqa_tpu.kernels.int8_matmul_pallas import matmul_int8_fused_pallas
+    from videonavqa_tpu.ops.quant import (
+        conv2d_int8_prequant, conv2d_int8_preq_act, quantize_weight_channelwise)
+
+    key = jax.random.PRNGKey(7)
+    cin = cout = 16
+    x = jax.random.normal(key, (3, 5, 13, cin), jnp.float32)
+    w1 = jax.random.normal(jax.random.PRNGKey(8), (1, 1, cin, cout)) * 0.3
+    w3 = jax.random.normal(jax.random.PRNGKey(9), (3, 3, cout, cout)) * 0.2
+    b1 = jax.random.normal(jax.random.PRNGKey(10), (cout,))
+    wq1, sw1 = quantize_weight_channelwise(w1)
+    wq3, sw3 = quantize_weight_channelwise(w3)
+    a1 = jnp.max(jnp.abs(x)) * 1.25
+
+    res_ref = jax.nn.relu(conv2d_int8_prequant(wq1, sw1, b1, x, a1,
+                                               out_dtype=jnp.float32))
+    a3 = jnp.max(jnp.abs(res_ref)) * 1.25
+    y_ref = conv2d_int8_prequant(wq3, sw3, None, res_ref, a3,
+                                 out_dtype=jnp.float32)
+
+    res, resq = matmul_int8_fused_pallas(x, wq1[0, 0], sw1, b1, a1,
+                                         relu=True, next_absmax=a3,
+                                         out_dtype=jnp.float32, interpret=True)
+    assert resq.dtype == jnp.int8
+    y = conv2d_int8_preq_act(wq3, sw3, None, resq, a3, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(res), np.asarray(res_ref),
+                               rtol=1e-5, atol=1e-6)
+    # int8 codes may differ by 1 where the FMA'd epilogue lands on a round
+    # boundary; require near-total agreement and matching conv output
+    agree = float(jnp.mean((resq == jnp.clip(
+        jnp.round(res_ref / (a3 / 127.0)), -127, 127).astype(jnp.int8)
+    ).astype(jnp.float32)))
+    assert agree > 0.999, agree
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)

@@ -40,9 +40,24 @@ def _kernel(x_ref, wq_ref, comb_ref, bias_ref, sx_ref, o_ref, *, relu):
     o_ref[:, :] = y.astype(o_ref.dtype)
 
 
+def _kernel_requant(x_ref, wq_ref, comb_ref, bias_ref, sx_ref, nx_ref,
+                    o_ref, oq_ref, *, relu):
+    sx = sx_ref[0, 0]
+    xq = jnp.clip(jnp.round(x_ref[:, :].astype(jnp.float32) / sx),
+                  -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq_ref[:, :], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * comb_ref[:, :] + bias_ref[:, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[:, :] = y.astype(o_ref.dtype)
+    oq_ref[:, :] = jnp.clip(jnp.round(y / nx_ref[0, 0]),
+                            -127.0, 127.0).astype(jnp.int8)
+
+
 def matmul_int8_fused_pallas(x, wq, w_scale, bias, act_absmax, *, relu=False,
-                             out_dtype=jnp.bfloat16, block_rows=512,
-                             interpret=False):
+                             next_absmax=None, out_dtype=jnp.bfloat16,
+                             block_rows=512, interpret=False):
     """Fused quantize -> int8 matmul -> dequant(+bias)(+relu) over channels.
 
     x [..., Cin] (bf16/f32), wq [Cin, Cout] int8, w_scale [Cout] f32
@@ -52,6 +67,13 @@ def matmul_int8_fused_pallas(x, wq, w_scale, bias, act_absmax, *, relu=False,
     dequant epilogue agrees to round-off (FMA fusion may differ across XLA
     programs). ``relu=True`` additionally folds the trunk's ReLU.
     Returns x.shape[:-1] + [Cout] at ``out_dtype``.
+
+    ``next_absmax`` (scalar, optional): also requantize the result with the
+    NEXT conv's calibrated activation absmax in-register and return
+    ``(y, yq_int8)`` — the consumer (the block's 3x3 conv) then skips its
+    own quantize pass (an extra read+write of the activation). yq is
+    quantized from the f32 epilogue value, not the stored bf16 y, so it can
+    differ from quantizing y by one int8 step in rare round-boundary cases.
     """
     cin, cout = wq.shape
     lead = x.shape[:-1]
@@ -67,18 +89,35 @@ def matmul_int8_fused_pallas(x, wq, w_scale, bias, act_absmax, *, relu=False,
 
     bm = min(block_rows, rows)
     grid = (rows + bm - 1) // bm
-    out = pl.pallas_call(
-        functools.partial(_kernel, relu=relu),
-        out_shape=jax.ShapeDtypeStruct((rows, cout), out_dtype),
+    in_specs = [
+        pl.BlockSpec((bm, cin), lambda i: (i, 0)),
+        pl.BlockSpec((cin, cout), lambda i: (0, 0)),
+        pl.BlockSpec((1, cout), lambda i: (0, 0)),
+        pl.BlockSpec((1, cout), lambda i: (0, 0)),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    if next_absmax is None:
+        out = pl.pallas_call(
+            functools.partial(_kernel, relu=relu),
+            out_shape=jax.ShapeDtypeStruct((rows, cout), out_dtype),
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, cout), lambda i: (i, 0)),
+            interpret=interpret,
+        )(x2, wq, comb, b, sx)
+        return out.reshape(*lead, cout)
+
+    nx = (jnp.maximum(next_absmax.astype(jnp.float32), 1e-8) / 127.0
+          ).reshape(1, 1)
+    out, outq = pl.pallas_call(
+        functools.partial(_kernel_requant, relu=relu),
+        out_shape=[jax.ShapeDtypeStruct((rows, cout), out_dtype),
+                   jax.ShapeDtypeStruct((rows, cout), jnp.int8)],
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((bm, cin), lambda i: (i, 0)),
-            pl.BlockSpec((cin, cout), lambda i: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, cout), lambda i: (i, 0)),
+        in_specs=in_specs + [
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((bm, cout), lambda i: (i, 0)),
+                   pl.BlockSpec((bm, cout), lambda i: (i, 0))],
         interpret=interpret,
-    )(x2, wq, comb, b, sx)
-    return out.reshape(*lead, cout)
+    )(x2, wq, comb, b, sx, nx)
+    return out.reshape(*lead, cout), outq.reshape(*lead, cout)

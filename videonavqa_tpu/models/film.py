@@ -81,7 +81,7 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     calibrate = getattr(cfg, "int8_trunk_calibrate", False) and not train
     int8 = (getattr(cfg, "use_int8_trunk", False) and not train
             and not calibrate)
-    conv1x1_relu = None
+    block_convs = None
     scales = state.get("int8_scales") if int8 else None
     if calibrate:
         from videonavqa_tpu.ops.quant import quantize_weight_channelwise
@@ -114,16 +114,24 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
             if getattr(cfg, "use_pallas_kernels", False):
                 # 1x1 convs are HBM-bound in the XLA int8 path (int8 copy +
                 # int32 accumulator round-trip HBM); the fused kernel keeps
-                # quantize/matmul/dequant/relu in VMEM (~4x less traffic).
+                # quantize/matmul/dequant/relu in VMEM (~4x less traffic)
+                # and requantizes the residual with the 3x3's calibrated
+                # scale in-register, so the 3x3 skips its own quantize pass.
                 from videonavqa_tpu.kernels.int8_matmul_pallas import (
                     matmul_int8_fused_pallas,
                 )
+                from videonavqa_tpu.ops.quant import conv2d_int8_preq_act
 
-                def conv1x1_relu(p, x, name):
-                    return matmul_int8_fused_pallas(
-                        x, wqs[name]["wq"][0, 0], wqs[name]["scale"],
-                        p.get("bias"), scales[name], relu=True,
-                        out_dtype=dtype)
+                def block_convs(k, x, p1x1, p3x3):
+                    n1, n3 = f"conv1x1_{k}", f"conv3x3_{k}"
+                    res, resq = matmul_int8_fused_pallas(
+                        x, wqs[n1]["wq"][0, 0], wqs[n1]["scale"],
+                        p1x1.get("bias"), scales[n1], relu=True,
+                        next_absmax=scales[n3], out_dtype=dtype)
+                    y = conv2d_int8_preq_act(
+                        wqs[n3]["wq"], wqs[n3]["scale"], p3x3.get("bias"),
+                        resq, scales[n3], out_dtype=dtype)
+                    return res, y
         else:
             conv = lambda p, x, name: conv2d_int8_static(p, x, scales[name],
                                                          out_dtype=dtype)
@@ -134,8 +142,10 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     else:
         conv = lambda p, x, name: conv2d(p, x, dtype=dtype)
 
-    if conv1x1_relu is None:
-        conv1x1_relu = lambda p, x, name: jax.nn.relu(conv(p, x, name))
+    if block_convs is None:
+        def block_convs(k, x, p1x1, p3x3):
+            res = jax.nn.relu(conv(p1x1, x, f"conv1x1_{k}"))
+            return res, conv(p3x3, res, f"conv3x3_{k}")
 
     x = conv(params["conv_init"], feats.reshape(B * T, *feats.shape[2:]),
              "conv_init")
@@ -148,8 +158,7 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
     fv = film_values.reshape(B * T, -1)
 
     def block(k, x, p1x1, p3x3, alphas, betas):
-        res = conv1x1_relu(p1x1, x, f"conv1x1_{k}")
-        y = conv(p3x3, res, f"conv3x3_{k}")
+        res, y = block_convs(k, x, p1x1, p3x3)
         # FiLM values are f32; cast to the conv output dtype so the affine +
         # residual chain doesn't silently upcast every block's [B*T,10,13,C]
         # tensor to f32 (2x the inter-op HBM traffic of the whole trunk).

@@ -75,6 +75,20 @@ def conv2d_int8_prequant(wq, w_scale, bias, x, act_absmax, *, stride=(1, 1),
     return y.astype(out_dtype)
 
 
+def conv2d_int8_preq_act(wq, w_scale, bias, xq, act_absmax, *, stride=(1, 1),
+                         padding="SAME", out_dtype=jnp.float32):
+    """conv2d_int8_prequant with the activation ALREADY int8 (produced by a
+    fused upstream kernel that requantized with this conv's calibrated
+    absmax, kernels/int8_matmul_pallas.py next_absmax) — only the int8 conv
+    and the dequant epilogue remain."""
+    sx = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0
+    acc = _conv_i8(xq, wq, stride, padding)
+    y = acc.astype(jnp.float32) * (sx * w_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def conv2d_int8_static(params, x, act_absmax, *, stride=(1, 1), padding="SAME",
                        out_dtype=jnp.float32):
     """int8 conv2d with a PRE-CALIBRATED per-tensor activation absmax (a
