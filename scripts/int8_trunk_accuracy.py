@@ -24,6 +24,9 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="run the int8 serving engine with use_pallas_kernels"
+                         " (fused 1x1 + chained requant path)")
     ap.add_argument("--base", type=str,
                     default=os.path.join(os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))), ".acc_data"))
@@ -101,9 +104,10 @@ def static_agreement(args, final, common):
     parser.add_argument("--max_batch", type=int, default=16)
     argv = [a if a != os.path.join(args.base, "int8acc.npz") else final
             for a in common] + ["--use_pallas_kernels", "false"]
+    pallas = ["--use_pallas_kernels", "true"] if args.use_pallas else []
     eng_bf16 = serve.InferenceEngine(parser.parse_args(argv))
     eng_int8 = serve.InferenceEngine(
-        parser.parse_args(argv + ["--int8_trunk", "true"]))
+        parser.parse_args(argv + ["--int8_trunk", "true"] + pallas))
 
     items = []
     for name in sorted(split["test"]):

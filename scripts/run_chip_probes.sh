@@ -17,6 +17,9 @@ run() {
 # tunnel sanity first: a single tiny op, hard 60s bound
 run tunnel-sanity 60 python -c "import jax, jax.numpy as jnp; jnp.ones(4).block_until_ready(); print('tunnel ok', jax.devices())" || exit 1
 
+# 0. fused int8 1x1 pallas kernel: compile check + vs XLA prequant
+run int8_fused_1x1_probe 900 python scripts/int8_fused_1x1_probe.py
+
 # 1. static/prequant int8 trunk vs dynamic vs bf16 (batch 32 + batch 1)
 run int8_static_probe 1200 python scripts/int8_static_probe.py --iters 30
 
@@ -37,5 +40,8 @@ run flatten_probe 600 python scripts/flatten_probe.py
 
 # 7. serving eval-step component anatomy (pallas + static int8, B=1 and 32)
 run serving_step_anatomy 1200 python scripts/serving_step_anatomy.py
+
+# 8. bucketed serving headline (pallas + static int8 + fused 1x1 + buckets)
+run bucketed_serving_probe 1200 python scripts/bucketed_serving_probe.py
 
 echo "all probes done -> $LOG"
