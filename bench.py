@@ -220,22 +220,24 @@ def main(argv=None):
     tag = "_fcache" if args.feature_cache else ""
     if args.report == "ms_per_video":
         ms = dt / (n_steps * B) * 1e3
-        print(json.dumps({
+        line = {
             "metric": f"{args.model}_{args.mode}{tag}_b{B}_ms_per_video",
             "value": round(ms, 2),
             "unit": "ms",
             # P100 estimate: 8 videos/s -> 125 ms/video; lower is better
             "vs_baseline": round(1e3 / P100_VIDEOS_PER_SEC / ms, 2),
-        }))
+        }
     else:
-        print(json.dumps({
+        line = {
             "metric": f"{args.model}_{args.mode}{tag}_videos_per_sec_per_chip",
             "value": round(videos_per_sec, 2),
             "unit": "videos/s",
             "vs_baseline": round(videos_per_sec / P100_VIDEOS_PER_SEC, 2),
-        }))
+        }
+    print(json.dumps(line))
     print(f"# {dt / args.steps * 1000:.1f} ms/step at batch {B}, "
           f"loss={float(metrics['loss']):.3f}", file=sys.stderr)
+    return line
 
 
 def run_e2e(args, spec, cfg, params, state, optimizer, opt_state, stem_fn):
@@ -391,7 +393,42 @@ def _backend_health_check(timeout_s=180):
         raise SystemExit(1)
 
 
-def run_suite():
+BENCH_TAIL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_TAIL.json")
+
+
+def check_regressions(lines, tail_path=BENCH_TAIL, threshold=0.10):
+    """Compare this run's suite lines against the last committed good tail.
+
+    Returns a list of WARN strings, one per metric that regressed by more
+    than ``threshold`` (lower videos/s, or higher ms). This is the
+    "no unmeasured code in the hot path" guard: an auto-snapshot bench run
+    cannot silently record a worse headline — the regression is printed in
+    the same artifact. (Round-4 lesson: an unmeasured serving-path kernel
+    took the judged batch-32 line from 1004 to 639 videos/s with no warning
+    anywhere in the recorded tail.)"""
+    if not os.path.exists(tail_path):
+        return []
+    with open(tail_path) as f:
+        prior = {l["metric"]: l for l in json.load(f)["lines"]}
+    warns = []
+    for line in lines:
+        ref = prior.get(line.get("metric"))
+        if ref is None or not ref.get("value"):
+            continue
+        lower_is_better = line.get("unit") == "ms"
+        ratio = line["value"] / ref["value"]
+        regressed = ratio > 1 + threshold if lower_is_better else ratio < 1 - threshold
+        if regressed:
+            warns.append(
+                f"WARN: bench regression on {line['metric']}: "
+                f"{line['value']} {line['unit']} vs committed tail "
+                f"{ref['value']} ({ratio:.2f}x) — a hot-path change shipped "
+                f"without measurement? (BENCH_TAIL.json)")
+    return warns
+
+
+def run_suite(update_tail=False):
     """Headline train metric first (the driver's contract: line 1 is THE
     number), then one JSON line per additional judged metric so the recorded
     artifact carries the serving/feature-cache work, not just the plateaued
@@ -404,8 +441,11 @@ def run_suite():
       4. batch-1 serving latency, ms/video (same recipe)
 
     A failure in an extra metric prints an error line but never masks the
-    headline."""
-    main()
+    headline. After all lines, each metric is compared against the last
+    committed BENCH_TAIL.json and >10% regressions print loud WARN lines
+    (check_regressions). ``python bench.py --update_tail`` refreshes the
+    committed tail after a verified-good chip session."""
+    lines = [main()]
     extras = [
         ["--feature_cache", "true"],
         ["--mode", "eval", "--feature_cache", "true",
@@ -417,14 +457,28 @@ def run_suite():
     ]
     for argv in extras:
         try:
-            main(argv)
+            lines.append(main(argv))
         except Exception as e:  # noqa: BLE001 - keep the remaining metrics
             print(json.dumps({"metric": "bench_extra", "value": 0.0,
                               "unit": "error",
                               "vs_baseline": 0.0,
                               "error": f"{' '.join(argv)}: {e!r}"}))
+    lines = [l for l in lines if l]
+    for warn in check_regressions(lines):
+        print(f"# {warn}")  # stdout: lands in the judged artifact's tail
+        print(warn, file=sys.stderr)
+    if update_tail:
+        import datetime
+
+        with open(BENCH_TAIL, "w") as f:
+            json.dump({"recorded": datetime.datetime.now().isoformat(
+                timespec="seconds"), "lines": lines}, f, indent=1)
+        print(f"# wrote {BENCH_TAIL}", file=sys.stderr)
 
 
 if __name__ == "__main__":
+    update_tail = "--update_tail" in sys.argv
+    if update_tail:
+        sys.argv.remove("--update_tail")
     _backend_health_check()
-    run_suite()
+    run_suite(update_tail=update_tail)
