@@ -249,6 +249,70 @@ def test_int8_fused_1x1_trunk_wiring():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_int8_fused_row_gate():
+    """The fused int8 1x1 kernel is gated on the folded row count
+    (models/film.py INT8_FUSED_MAX_ROWS): above the measured crossover the
+    XLA prequant path must run instead — the round-4 lesson, where the
+    ungated kernel cost the batch-32 serving headline (VERDICT r4 #1)."""
+    from videonavqa_tpu.kernels import int8_matmul_pallas as kmod
+    from videonavqa_tpu.models import film as film_mod
+
+    cfg = ModelConfig(model="film_gp_pt", num_res_blocks=1,
+                      num_res_block_channels=16, num_input_channels=12,
+                      num_tail_channels=4, embed_size=8, hidden_size=8,
+                      max_num_frames=5, max_q_len=9, compute_dtype="float32")
+    spec = get_model("film_gp_pt")
+    key = jax.random.PRNGKey(0)
+    params, state = spec.init(key, cfg)
+    B, T = 2, 4  # folded rows = 2*4*10*13 = 1040
+    batch = {
+        "v_features": jax.random.normal(key, (B, T, 10, 13, 12)),
+        "question": jax.random.randint(key, (B, 9), 1, cfg.vocab_size),
+        "v_len": jnp.array([4, 2]),
+        "q_len": jnp.array([9, 4]),
+    }
+    cal_cfg = ModelConfig(**{**cfg.__dict__, "use_int8_trunk": True,
+                             "int8_trunk_calibrate": True})
+    _, cal_state = spec.apply(params, state, batch, cal_cfg, train=False,
+                              rng=jax.random.PRNGKey(1))
+    cfg8p = ModelConfig(**{**cfg.__dict__, "use_int8_trunk": True,
+                           "use_pallas_kernels": True})
+
+    calls = []
+    orig = kmod.matmul_int8_fused_pallas
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **{**k, "interpret": True})
+
+    import videonavqa_tpu.kernels.film_reencode_pallas  # noqa: F401 (register)
+
+    reenc_patch = _force_interpret(
+        "videonavqa_tpu.kernels.film_reencode_pallas", "film_reencode_pallas")
+    kmod.matmul_int8_fused_pallas = spy
+    try:
+        # below the gate: fused kernel must be invoked
+        spec.apply(params, cal_state, batch, cfg8p, train=False,
+                   rng=jax.random.PRNGKey(1))
+        assert calls, "fused kernel not used below INT8_FUSED_MAX_ROWS"
+        # above the gate (lowered under this config's 1040 rows): must NOT
+        calls.clear()
+        saved = film_mod.INT8_FUSED_MAX_ROWS
+        film_mod.INT8_FUSED_MAX_ROWS = 1039
+        try:
+            spec.apply(params, cal_state, batch, cfg8p, train=False,
+                       rng=jax.random.PRNGKey(1))
+        finally:
+            film_mod.INT8_FUSED_MAX_ROWS = saved
+        assert not calls, "fused kernel used above INT8_FUSED_MAX_ROWS"
+    finally:
+        kmod.matmul_int8_fused_pallas = orig
+        mod, name, orig_re = reenc_patch
+        setattr(mod, name, orig_re)
+    # the shipped gate sits at the largest measured win (crossover probe)
+    assert film_mod.INT8_FUSED_MAX_ROWS == 9100
+
+
 def test_int8_matmul_fused_requant_chain():
     """next_absmax: the fused kernel's int8 second output chains into
     conv2d_int8_preq_act; the pair must match the unfused prequant path

@@ -41,6 +41,17 @@ from videonavqa_tpu.utils import constants as C
 # Shared FiLM machinery
 # ---------------------------------------------------------------------------
 
+# Folded-row-count ceiling for the fused int8 1x1 Pallas kernel (rows =
+# B*T*10*13 at the flagship serving shapes). At or below it the fused kernel
+# wins (batch-1 serving 3.5 -> 2.46 ms/video, BENCH_r04 line 4; B=2/9100
+# rows: 1.29x); above it XLA's int8 tiling wins (B=3/13650 rows: 0.79x,
+# batch 32xT35: 0.45x — the round-4 1004->639 videos/s serving regression).
+# Measured crossover between 9100 and 13650 rows by
+# scripts/int8_fused_crossover_probe.py on TPU v5e (2026-08-20); the gate
+# sits at the largest measured WIN.
+INT8_FUSED_MAX_ROWS = 9100
+
+
 def init_film_trunk(key, cfg):
     """conv_init + bn_init + N x (conv3x3, conv1x1) — models/film_*:39-52,85-108."""
     ch = cfg.num_res_block_channels
@@ -111,12 +122,20 @@ def film_trunk(params, state, feats, film_values, frame_mask, cfg, *, train):
             conv = lambda p, x, name: conv2d_int8_prequant(
                 wqs[name]["wq"], wqs[name]["scale"], p.get("bias"), x,
                 scales[name], out_dtype=dtype)
-            if getattr(cfg, "use_pallas_kernels", False):
-                # 1x1 convs are HBM-bound in the XLA int8 path (int8 copy +
-                # int32 accumulator round-trip HBM); the fused kernel keeps
-                # quantize/matmul/dequant/relu in VMEM (~4x less traffic)
-                # and requantizes the residual with the 3x3's calibrated
-                # scale in-register, so the 3x3 skips its own quantize pass.
+            fused_rows = B * T * feats.shape[2] * feats.shape[3]
+            if (getattr(cfg, "use_pallas_kernels", False)
+                    and fused_rows <= INT8_FUSED_MAX_ROWS):
+                # 1x1 convs are launch/HBM-bound at SMALL row counts in the
+                # XLA int8 path (int8 copy + int32 accumulator round-trip
+                # HBM); the fused kernel keeps quantize/matmul/dequant/relu
+                # in VMEM and requantizes the residual with the 3x3's
+                # calibrated scale in-register, so the 3x3 skips its own
+                # quantize pass. At LARGE row counts XLA's tiling wins
+                # (measured 2.3x the other way at batch 32xT35 — the round-4
+                # 1004->639 videos/s serving regression), so the fused path
+                # is gated on the folded row count; see
+                # scripts/int8_fused_crossover_probe.py for the measured
+                # crossover and INT8_FUSED_MAX_ROWS below.
                 from videonavqa_tpu.kernels.int8_matmul_pallas import (
                     matmul_int8_fused_pallas,
                 )
