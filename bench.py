@@ -218,6 +218,8 @@ def main(argv=None):
 
     videos_per_sec = n_steps * B / dt
     tag = "_fcache" if args.feature_cache else ""
+    if args.feature_cache and args.feature_dtype == "float8_e4m3":
+        tag = "_fcache_fp8"
     if args.report == "ms_per_video":
         ms = dt / (n_steps * B) * 1e3
         line = {
@@ -439,6 +441,9 @@ def run_suite(update_tail=False):
       3. batch-32 serving: pallas kernels + STATIC-calibrated int8 trunk +
          length buckets (the DEPLOYMENT.md recipe)
       4. batch-1 serving latency, ms/video (same recipe)
+      5. batch-32 serving with the fp8 feature cache (--feature_dtype
+         float8_e4m3 — DEPLOYMENT.md's production storage recommendation:
+         half the cache bytes + transfer, VERDICT r4 #6)
 
     A failure in an extra metric prints an error line but never masks the
     headline. After all lines, each metric is compared against the last
@@ -454,6 +459,9 @@ def run_suite(update_tail=False):
          "--use_pallas_kernels", "true", "--int8_trunk", "true",
          "--batch_size", "1", "--steps", "64", "--warmup", "8",
          "--report", "ms_per_video"],
+        ["--mode", "eval", "--feature_cache", "true",
+         "--use_pallas_kernels", "true", "--int8_trunk", "true",
+         "--feature_dtype", "float8_e4m3"],
     ]
     for argv in extras:
         try:

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--mode", type=str, default="eval",
                     choices=["eval", "train"])
+    ap.add_argument("--zero_cache", action="store_true",
+                    help="eval only: precompute the zero-run columns per "
+                         "bucket width (state['c3d_zero'], VERDICT r4 #5) "
+                         "so the in-step ~14 ms zero-run disappears")
     args = ap.parse_args()
 
     cfg = ModelConfig(model="v_only_cnn3d", hidden_size=128,
@@ -50,6 +54,18 @@ def main():
     B = args.batch
 
     if args.mode == "eval":
+        if args.zero_cache:
+            from videonavqa_tpu.models.v_only_cnn3d import (
+                precompute_c3d_zero_slices,
+            )
+
+            t0 = time.time()
+            zc = precompute_c3d_zero_slices(
+                params, state, cfg, [32, 24, 16, 12, 8])
+            jax.block_until_ready(zc)
+            print(f"zero-run precompute (5 widths): {time.time() - t0:.2f}s "
+                  f"(once per weights version)", flush=True)
+            state = {**state, "c3d_zero": zc}
         estep = make_eval_step(spec, cfg, reduction="sum")
 
         def step(batch, rng):

@@ -102,8 +102,14 @@ def static_agreement(args, final, common):
 
     parser = serve.build_q_and_v_parser()
     parser.add_argument("--max_batch", type=int, default=16)
+    # --use_pallas validates the FUSED int8 1x1 kernel's task accuracy, and
+    # that kernel only serves below the measured row-count crossover
+    # (models/film.py INT8_FUSED_MAX_ROWS = 9100 -> batch <= 2 at T=35), so
+    # the pallas run uses the batch the fused path actually serves
+    B = 2 if args.use_pallas else 16
     argv = [a if a != os.path.join(args.base, "int8acc.npz") else final
-            for a in common] + ["--use_pallas_kernels", "false"]
+            for a in common] + ["--use_pallas_kernels", "false",
+                                "--max_batch", str(B)]
     pallas = ["--use_pallas_kernels", "true"] if args.use_pallas else []
     eng_bf16 = serve.InferenceEngine(parser.parse_args(argv))
     eng_int8 = serve.InferenceEngine(
@@ -116,7 +122,6 @@ def static_agreement(args, final, common):
             if name in questions else [1]
         items.append((frames, vl, tokens))
 
-    B = 16
     eng_int8.run_batch(items[:B])  # calibration batch (f32, records scales)
     pb, pi = [], []
     for i in range(0, len(items), B):
@@ -125,8 +130,10 @@ def static_agreement(args, final, common):
         pi.append(np.argmax(eng_int8.run_batch(chunk), axis=-1))
     pb, pi = np.concatenate(pb), np.concatenate(pi)
     agree = float(np.mean(pb == pi))
-    print(f"prediction agreement STATIC-int8-vs-bf16 (serving recipe, "
-          f"{len(pb)} test examples): {agree:.4f}", flush=True)
+    recipe = ("fused-pallas static-int8" if args.use_pallas
+              else "STATIC-int8")
+    print(f"prediction agreement {recipe}-vs-bf16 (serving recipe, "
+          f"batch {B}, {len(pb)} test examples): {agree:.4f}", flush=True)
 
 if __name__ == "__main__":
     main()

@@ -90,6 +90,68 @@ def test_cnn3d_trimmed_equals_full(name, train, T_c):
         st_trim, st_full)
 
 
+@pytest.mark.parametrize("T_c", [8, 16, 34])
+def test_cnn3d_cached_zero_run_equals_full(T_c):
+    # T_c=34 exceeds _SPLICE_MAX_T_CACHED (16): apply() takes the pad path
+    # there, so the cached splice itself is exercised via the direct call
+    """Serving-mode splice with the PRECOMPUTED zero-run
+    (state['c3d_zero'], precompute_c3d_zero_slices — VERDICT r4 #5): the
+    cached columns are a pure function of params + eval BN statistics, so
+    every bucket width must reproduce the full zero-padded volume exactly,
+    including T above the uncached hybrid's crossover (T > 12)."""
+    from videonavqa_tpu.models.v_only_cnn3d import precompute_c3d_zero_slices
+
+    spec = get_model("v_only_cnn3d")
+    cfg = ModelConfig(**{**CFG.__dict__, "max_num_frames": 35,
+                         "hidden_size": 128})
+    key = jax.random.PRNGKey(0)
+    params, state = spec.init(key, cfg)
+    # non-trivial BN statistics (fresh init has mean 0 / var 1 everywhere)
+    state = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(key, x.shape, x.dtype), state)
+
+    B = 2
+    v_len = np.array([7, 3])
+    video = np.array(jax.random.uniform(key, (B, 35, 160, 208, 3)))
+    for b in range(B):
+        video[b, v_len[b]:] = 0.0
+    batch = {"v_len": jnp.asarray(v_len)}
+    rng = jax.random.PRNGKey(1)
+
+    full, _ = spec.apply(params, state, dict(batch, video=jnp.asarray(video)),
+                         cfg, train=False, rng=rng)
+    zc = precompute_c3d_zero_slices(params, state, cfg, [T_c])
+    assert f"T{T_c}" in zc
+    state_c = {**state, "c3d_zero": zc}
+    from videonavqa_tpu.models.v_only_cnn3d import (
+        _SPLICE_MAX_T_CACHED, c3d_trunk, c3d_trunk_trimmed_cached)
+    from videonavqa_tpu.ops.video import normalize_video
+
+    if T_c <= _SPLICE_MAX_T_CACHED:
+        cached, _ = spec.apply(params, state_c,
+                               dict(batch, video=jnp.asarray(video[:, :T_c])),
+                               cfg, train=False, rng=rng)
+        np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
+                                   atol=2e-4, rtol=1e-5)
+    else:  # above the perf gate: the cached splice itself must still be exact
+        h_full, _ = c3d_trunk(params, state, normalize_video(
+            jnp.asarray(video)), cfg, train=False)
+        h_cached, _ = c3d_trunk_trimmed_cached(
+            params, state, normalize_video(jnp.asarray(video[:, :T_c])), cfg,
+            zc[f"T{T_c}"])
+        np.testing.assert_allclose(np.asarray(h_cached), np.asarray(h_full),
+                                   atol=2e-4, rtol=1e-5)
+    # train mode must IGNORE the cache (its BN statistics are batch-dependent
+    # and the tail's gradients flow through the in-graph zero-run)
+    tr_c, st_c = spec.apply(params, state_c,
+                            dict(batch, video=jnp.asarray(video[:, :12])),
+                            cfg, train=True, rng=rng)
+    tr, st = spec.apply(params, state,
+                        dict(batch, video=jnp.asarray(video[:, :12])),
+                        cfg, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(tr_c), np.asarray(tr), atol=1e-6)
+
+
 def test_cnn3d_trimmed_grad_equals_full():
     """Gradients through the zero-run splice match the full-volume gradients
     (the broadcast tail routes the padded positions' cotangents through the

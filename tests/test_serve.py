@@ -856,7 +856,18 @@ def test_video_serving_cnn3d_buckets_exact(served):
         frames[:vl] = rng.randint(
             0, 255, (vl, *plain.frame_shape)).astype(plain.frame_dtype)
         items.append((frames, vl, [1]))
+    # round 5: the bucketed engine precomputes the zero-run columns once per
+    # weights version (_attach_c3d_zero -> state['c3d_zero']) so the splice
+    # skips the in-step zero-run; run_batch parity below proves the cached
+    # path, and reload() must re-attach for the new weights
+    assert "c3d_zero" in bucketed.state
+    assert "c3d_zero" not in plain.state
+
     want = plain.run_batch(items)
     got = bucketed.run_batch(items)
     assert bucketed.bucket_for(5) < 35  # actually trimmed
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+    bucketed.reload(ckpt)
+    assert "c3d_zero" in bucketed.state
+    np.testing.assert_allclose(bucketed.run_batch(items), want, atol=1e-4)

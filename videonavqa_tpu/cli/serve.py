@@ -45,7 +45,7 @@ a real stored video (--int8_stem_calibration_video; accuracy caveat in
 PERF.md applies, opt-in).
 
 Production mode — ``--feature_cache true``: serves PRECOMPUTED frozen-stem
-features (the deployment shape behind the 1004 videos/s serving bench): the
+features (the deployment shape behind the ~1000 videos/s serving bench): the
 daemon opens ``features_<split>.fnr`` via the native loader (refusing a
 stale stem fingerprint at startup), skips video decode and the stem
 entirely, and requests address packed examples by id:
@@ -234,6 +234,7 @@ class InferenceEngine:
                     print("=> --bucket_frames auto needs --feature_cache; "
                           "using the default bucket grid")
                 self.frame_buckets = BatchLoader.DEFAULT_FRAME_BUCKETS
+        self._attach_c3d_zero()
 
         cfg, spec, stem_fn = self.cfg, self.spec, self.stem_fn
         cached = self.feature_loader is not None
@@ -277,6 +278,35 @@ class InferenceEngine:
                 return jax.nn.softmax(logits, axis=-1), new_state
 
             self._forward_calibrate = forward_calibrate
+
+    def _attach_c3d_zero(self):
+        """v_only_cnn3d + frame buckets: precompute the serving zero-run
+        columns for every bucket width (a pure function of params + eval BN
+        statistics, models/v_only_cnn3d.py precompute_c3d_zero_slices — the
+        int8_wq pattern), so bucketed serving never recomputes the ~14 ms
+        in-step zero-run and every bucket takes the splice. Re-attached on
+        hot reload (new weights -> new zero-run)."""
+        if (self.args.model != "v_only_cnn3d"
+                or not getattr(self, "frame_buckets", None)):
+            return
+        from videonavqa_tpu.models.v_only_cnn3d import (
+            _SPLICE_MAX_T_CACHED,
+            precompute_c3d_zero_slices,
+        )
+
+        widths = [t for t in self.frame_buckets
+                  if 0 < t <= min(_SPLICE_MAX_T_CACHED,
+                                  self.cfg.max_num_frames - 1)]
+        if not widths:
+            return
+        with self._weights_lock:
+            params, state = self._weights
+            zc = precompute_c3d_zero_slices(params, state, self.cfg, widths)
+            if self.mesh is not None:
+                from videonavqa_tpu.parallel import replicate
+
+                zc = replicate(zc, self.mesh)
+            self._weights = (params, {**state, "c3d_zero": zc})
 
     def _load_weights(self, path):
         """Load a framework checkpoint and pin it on device (mesh-aware).
@@ -330,6 +360,7 @@ class InferenceEngine:
         weights need fresh int8 activation scales — _load_weights flags the
         next micro-batch to re-calibrate, atomically with the swap."""
         self.epoch = self._load_weights(path or self.args.checkpoint_path)
+        self._attach_c3d_zero()  # new weights -> new zero-run columns
         return self.epoch
 
     def encode_question(self, text):

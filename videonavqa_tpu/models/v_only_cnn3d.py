@@ -59,9 +59,21 @@ def c3d_trunk(params, state, video, cfg, *, train):
     measured: on the v5e at batch 8 the splice is 1.39x at T=8 / 1.21x at
     T=12 but the zero-run + splice overhead loses from T=16 up
     (scripts/cnn3d_bucket_probe.py, PERF.md) — the hybrid is never slower
-    than the full volume (pad path: 1.01x)."""
+    than the full volume (pad path: 1.01x).
+
+    Serving (eval) additionally supports a PRECOMPUTED zero-run: the spliced
+    tail values are a pure function of params + eval BN statistics, so
+    ``state['c3d_zero'][f'T{T}']`` (recorded once per weights version by
+    precompute_c3d_zero_slices, the ``int8_wq`` pattern) removes the
+    ~14 ms/step fixed zero-run recompute, moving the splice crossover from
+    T<=12 to T<=16 and its wins to 1.3-2.3x (_SPLICE_MAX_T_CACHED)."""
     T = video.shape[1]
     if T < cfg.max_num_frames:
+        zc = None
+        if not train and T <= _SPLICE_MAX_T_CACHED:
+            zc = state.get("c3d_zero", {}).get(f"T{T}")
+        if zc is not None:
+            return c3d_trunk_trimmed_cached(params, state, video, cfg, zc)
         if T <= _SPLICE_MAX_T:
             return c3d_trunk_trimmed(params, state, video, cfg, train=train)
         video = jnp.pad(
@@ -131,6 +143,14 @@ _W = 3  # time axis of the [B, D=160, H=208, W=T, C] volume
 # per-layer splice ops cost ~14 ms fixed, so long buckets don't recoup it;
 # the pad path holds 1.01x everywhere, scripts/cnn3d_bucket_probe.py).
 _SPLICE_MAX_T = 12
+
+# With the PRECOMPUTED zero-run (state['c3d_zero'], eval only) the fixed
+# in-step cost disappears and the crossover moves right: measured on the
+# v5e at batch 8 (scripts/cnn3d_bucket_probe.py --zero_cache, 2026-08-20)
+# the cached splice is 2.27x at T=8, 1.89x at T=12, 1.33x at T=16, but the
+# per-layer concat/copy overhead still loses from T=24 (0.96x; 0.79x at
+# T=32) — the savings scale with 35-T while the copies scale with T.
+_SPLICE_MAX_T_CACHED = 16
 
 
 def _w_take(xz, lo, hi, B):
@@ -245,6 +265,129 @@ def c3d_trunk_trimmed(params, state, video, cfg, *, train):
     if live < xz.shape[_W]:
         xr = jnp.concatenate([xr, _w_take(xz, live, xz.shape[_W], B)], axis=_W)
     return _c3d_head(params, state, new_state, xr, train=train)
+
+
+# --- precomputed zero-run (serving): VERDICT r4 #5 --------------------------
+#
+# In EVAL mode every zero-run value is a pure function of params + stored BN
+# statistics (train mode is different: the splice normalizes the zero-run
+# with the REAL batch's statistics and routes the tail's cotangents through
+# it, so it must stay in-graph there). Computing it inside the step costs a
+# fixed ~14 ms (three full-width conv3d's on the zero volume) — the reason
+# the hybrid capped the splice at T<=12. precompute_c3d_zero_slices runs the
+# chain ONCE per weights version and extracts, per bucket width, exactly the
+# columns the splice consumes (a few MB), so cached serving pays only the
+# live-prefix convs at every T.
+
+_POOLS = ((1, 2, 2), (4, 4, 4), (4, 4, 4))
+
+
+def _splice_plan(T, Wf):
+    """Static per-stage column plan for bucket width T: for each of the three
+    conv+pool stages, (conv margin cols, conv keep, pool pad cols, pool
+    stride domain width); mirrors _conv_spliced/_pool_spliced exactly."""
+    plan = []
+    live, W = T, Wf
+    for window in _POOLS:
+        s = window[2]
+        margin = (live, min(live + 2, W))
+        keep = min(live + 1, W)
+        Wp = W // s
+        pooled_live = min(-(-keep // s), Wp)
+        pad = (keep, pooled_live * s)
+        plan.append({"margin": margin, "keep": keep, "pad": pad,
+                     "pooled_live": pooled_live})
+        live, W = pooled_live, Wp
+    return plan, live, W  # tail columns [live, W) of the final volume
+
+
+def precompute_c3d_zero_slices(params, state, cfg, widths):
+    """Run the eval-mode zero-run chain once and return, for each bucket
+    width T in ``widths``, the exact column slices c3d_trunk_trimmed_cached
+    consumes: {"T<T>": {"m1","p1","m2","p2","m3","p3","tail"}} (each [1,...],
+    broadcast to the batch at use). Store under state["c3d_zero"]; recompute
+    on weight reload (the int8_wq pattern)."""
+    from videonavqa_tpu.ops.norm import EPS
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    Wf = cfg.max_num_frames
+
+    def bn_eval(p, st, x):
+        x32 = x.astype(jnp.float32)
+        inv = jnp.reciprocal(jnp.sqrt(st["var"] + EPS))
+        return ((x32 - st["mean"]) * inv) * p["weight"] + p["bias"]
+
+    @jax.jit
+    def chain(params, state):
+        xz = jnp.zeros((1, 160, 208, Wf, 3), jnp.float32)
+        z = bn_eval(params["bn_input"], state["bn_input"], xz)
+        stages = []  # per stage: (conv input z, pre-pool z)
+        for conv_name, bn_name, window in (("conv1", "bn1", _POOLS[0]),
+                                           ("conv2", "bn2", _POOLS[1]),
+                                           ("conv3a", "bn3", _POOLS[2])):
+            zc = jax.nn.relu(conv3d(params[conv_name], z, dtype=dtype))
+            zp = max_pool3d(zc, window)
+            stages.append((z, zc))
+            z = bn_eval(params[bn_name], state[bn_name], zp)
+        return stages, z  # z: post-bn3 [1, 10, 6, Wf//32, 128]
+
+    stages, z_final = chain(params, state)
+    out = {}
+    for T in widths:
+        if not (0 < T < Wf):
+            continue
+        plan, live, W = _splice_plan(T, Wf)
+        zc_t = {}
+        for k, (st, (z_in, z_pre)) in enumerate(zip(plan, stages), start=1):
+            lo, hi = st["margin"]
+            zc_t[f"m{k}"] = z_in[:, :, :, lo:hi, :]
+            lo, hi = st["pad"]
+            zc_t[f"p{k}"] = z_pre[:, :, :, lo:hi, :]
+        zc_t["tail"] = z_final[:, :, :, live:W, :]
+        out[f"T{T}"] = zc_t
+    return out
+
+
+def c3d_trunk_trimmed_cached(params, state, video, cfg, zc):
+    """Eval-only splice with the zero-run columns read from ``zc``
+    (precompute_c3d_zero_slices): identical outputs to c3d_trunk_trimmed /
+    the full padded volume (tests/test_frame_trimming.py), zero per-step
+    zero-run compute."""
+    from videonavqa_tpu.ops.norm import EPS
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    B = video.shape[0]
+    T = video.shape[1]
+    plan, live_f, W_f = _splice_plan(T, cfg.max_num_frames)
+    xr = jnp.transpose(video, (0, 2, 3, 1, 4))  # [B,160,208,T,3]
+    new_state = dict(state)
+
+    def bn_eval(p, st, x):
+        x32 = x.astype(jnp.float32)
+        inv = jnp.reciprocal(jnp.sqrt(st["var"] + EPS))
+        return ((x32 - st["mean"]) * inv) * p["weight"] + p["bias"]
+
+    def bcast(z):
+        return jnp.broadcast_to(z, (B,) + z.shape[1:])
+
+    xr = bn_eval(params["bn_input"], state["bn_input"], xr)
+    for k, (st, conv_name, bn_name, window) in enumerate(zip(
+            plan, ("conv1", "conv2", "conv3a"), ("bn1", "bn2", "bn3"),
+            _POOLS), start=1):
+        m = zc[f"m{k}"]
+        if m.shape[_W]:
+            xr = jnp.concatenate([xr, bcast(m)], axis=_W)
+        xr = jax.nn.relu(conv3d(params[conv_name], xr, dtype=dtype))
+        xr = xr[:, :, :, :st["keep"], :]
+        p = zc[f"p{k}"]
+        if p.shape[_W]:
+            xr = jnp.concatenate([xr, bcast(p)], axis=_W)
+        xr = max_pool3d(xr, window)
+        xr = bn_eval(params[bn_name], state[bn_name], xr)
+
+    if zc["tail"].shape[_W]:
+        xr = jnp.concatenate([xr, bcast(zc["tail"])], axis=_W)
+    return _c3d_head(params, state, new_state, xr, train=False)
 
 
 def init_fn(key, cfg):
