@@ -127,6 +127,13 @@ def build_q_and_v_parser():
                              "first training batch; ~26%% faster stem on v5e, "
                              "~2%% feature error — validate accuracy before "
                              "paper-comparable runs)")
+    parser.add_argument("--int8_stem_calibration", type=str, default="improved",
+                        choices=["absmax", "improved"],
+                        help="int8 stem calibration: 'improved' adds per-"
+                             "input-channel equalization + bias correction "
+                             "(stem/quant.py calibrate_stem_quant, ~1.5x "
+                             "lower feature error); 'absmax' is the legacy "
+                             "per-tensor absmax*1.1")
     parser.add_argument("--feature_cache", type=lambda s: s.lower() == "true", default=False,
                         help="precompute the frozen stem once per dataset "
                              "(cli.extract_features, features_{split}.fnr) and "
@@ -203,15 +210,22 @@ def load_stem(args, paths: DataPaths, calibration_video=None, mesh=None):
 
     if getattr(args, "int8_stem", False) and calibration_video is not None:
         from videonavqa_tpu.stem.quant import (
-            calibrate_act_scales, quantize_stem, stem_features_int8,
+            calibrate_act_scales, calibrate_stem_quant, quantize_stem,
+            stem_features_int8,
         )
 
-        print("=> Calibrating int8 stem on one batch")
+        mode = getattr(args, "int8_stem_calibration", "improved")
+        print(f"=> Calibrating int8 stem on one batch ({mode})")
         # calibration runs EAGER reductions — keep everything single-device
         # here (eager collectives over a mesh-replicated stem deadlock the
         # CPU all-reduce rendezvous), then mesh-place the quantized result
         calib = jax.device_put(calibration_video, jax.devices()[0])
-        scales = calibrate_act_scales(vgg_params, det_params, det_state, calib)
+        if mode == "improved":
+            scales = calibrate_stem_quant(vgg_params, det_params, det_state,
+                                          calib, percentile=None)
+        else:
+            scales = calibrate_act_scales(vgg_params, det_params, det_state,
+                                          calib)
         qstem = quantize_stem(vgg_params, det_params, act_scales=scales)
         if mesh is not None:
             from videonavqa_tpu.parallel import replicate

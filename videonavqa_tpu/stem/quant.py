@@ -64,22 +64,42 @@ _CONV_ORDER = tuple(item[0] for item in VGG_PARTIAL_CFG if item != "M") + tuple(
 def quantize_stem(vgg_params, det_params, act_scales=None):
     """Precompute int8 weights + per-channel scales for both stem stages.
 
-    ``act_scales``: optional {conv_name: float} static activation scales from
-    ``calibrate_act_scales`` — with them, quantization is a fused elementwise
-    op; without, each conv pays a dynamic absmax reduction (measured on v5e:
-    static 80 ms vs dynamic 115 ms vs bf16 108 ms for a 640-frame stem pass).
+    ``act_scales``: optional static activation calibration —
+    - {conv_name: float} from ``calibrate_act_scales`` (legacy absmax), or
+    - the rich dict from ``calibrate_stem_quant`` (percentile clipping +
+      per-input-channel equalization + bias correction).
+    With static scales quantization is a fused elementwise op; without, each
+    conv pays a dynamic absmax reduction (measured on v5e: static 80 ms vs
+    dynamic 115 ms vs bf16 108 ms for a 640-frame stem pass).
     """
-    q = {"vgg": {}, "det": {}, "act_scales": act_scales}
+    rich = act_scales is not None and "scales" in act_scales
+    scales = act_scales["scales"] if rich else act_scales
+    eq = act_scales.get("eq", {}) if rich else {}
+    bias_delta = act_scales.get("bias_delta", {}) if rich else {}
+    q = {"vgg": {}, "det": {}, "act_scales": scales}
+
+    def build(stage, name, params):
+        w, bias = params["weight"], params["bias"]
+        e = eq.get(name)
+        if e is not None:
+            w = w * e[None, None, :, None]
+        wq, sw = _quantize_weight(w)
+        layer = {"wq": wq, "sw": sw, "bias": bias}
+        db = bias_delta.get(name)
+        if db is not None:
+            layer["bias"] = bias + db
+        if scales is not None:
+            s = scales[name]
+            m = 1.0 / s if e is None else (1.0 / s) / e
+            layer["aq"] = {"m": m, "s": s}
+        q[stage][name] = layer
+
     for item in VGG_PARTIAL_CFG:
-        if item == "M":
-            continue
-        name = item[0]
-        wq, sw = _quantize_weight(vgg_params[name]["weight"])
-        q["vgg"][name] = {"wq": wq, "sw": sw, "bias": vgg_params[name]["bias"]}
+        if item != "M":
+            build("vgg", item[0], vgg_params[item[0]])
     for b in range(1, 4):
         for c in (f"conv{b}1", f"conv{b}2"):
-            wq, sw = _quantize_weight(det_params[c]["weight"])
-            q["det"][c] = {"wq": wq, "sw": sw, "bias": det_params[c]["bias"]}
+            build("det", c, det_params[c])
     return q
 
 
@@ -120,11 +140,121 @@ def calibrate_act_scales(vgg_params, det_params, det_state, videos, margin=1.1):
     return scales
 
 
-def _qact(h, qstem, name):
-    static = qstem.get("act_scales")
-    if static is not None:
-        s = static[name]
-        return jnp.clip(jnp.round(h * (1.0 / s)), -127, 127).astype(jnp.int8), s
+def _calib_walk(vgg_params, det_params, det_state, videos, hook):
+    """Run the f32 stem over ``videos``, calling hook(name, params, x, out)
+    at every conv (x = conv input, out = f32 conv output, pre-activation).
+    The hook's return value replaces ``out`` (return it unchanged to observe).
+    Layer structure mirrors stem_features_int8 exactly."""
+    from videonavqa_tpu.ops.conv import conv2d
+
+    B, T = videos.shape[:2]
+    h = videos.reshape(B * T, *videos.shape[2:])
+    for item in VGG_PARTIAL_CFG:
+        if item == "M":
+            h = max_pool2d(h)
+            continue
+        name = item[0]
+        out = hook(name, vgg_params[name], h,
+                   conv2d(vgg_params[name], h, dtype=jnp.float32))
+        h = jax.nn.relu(out)
+    scale, shift = _bn_affine(det_state["bn_input"], det_params["bn_input"])
+    h = h * scale + shift
+    for b in range(1, 4):
+        for c in (f"conv{b}1", f"conv{b}2"):
+            h = hook(c, det_params[c], h,
+                     conv2d(det_params[c], h, dtype=jnp.float32))
+        scale, shift = _bn_affine(det_state[f"bn{b}"], det_params[f"bn{b}"])
+        h = jax.nn.relu(h * scale + shift)
+        if b < 3:
+            h = max_pool2d(h)
+
+
+def calibrate_stem_quant(vgg_params, det_params, det_state, videos, *,
+                         percentile=None, equalize=True, bias_correct=True,
+                         max_frames=128):
+    """Improved static int8 calibration (round 5): percentile activation
+    clipping, SmoothQuant-style per-input-channel equalization, and
+    per-output-channel bias correction.
+
+    The legacy ``calibrate_act_scales`` uses per-tensor absmax*1.1 — one
+    outlier sets the whole tensor's quantization step, and channel dynamic
+    ranges that differ by orders of magnitude waste int8 levels. Here:
+
+    - per-input-channel equalization moves scale imbalance from activations
+      into the (exactly re-quantized per-output-channel) weights:
+      x' = x / e, w' = w * e with e = sqrt(a_c / w_c) (a_c, w_c: per-channel
+      activation/weight absmax) — algebra-neutral, quantization-friendlier;
+    - the per-tensor scale then clips at the ``percentile`` of |x'| instead
+      of the max (saturating the rare outliers instead of coarsening every
+      value);
+    - bias correction measures each conv's int8-vs-f32 output mean error on
+      the calibration batch (per output channel, f32 inputs) and folds it
+      into the bias, removing the systematic shift quantization induces.
+
+    Returns the rich act_scales dict for ``quantize_stem``. Accuracy impact
+    is validated on trained checkpoints in scripts/int8_stem_accuracy.py;
+    the reference stem being approximated is eval/utils.py:42-51.
+
+    The walk is eager and keeps f32 activations alive; ``max_frames`` caps
+    the calibration to the first frames of the batch so both passes fit HBM
+    at full batch sizes (a mean/absmax over 128 frames is statistically
+    plenty for calibration).
+    """
+    B, T = videos.shape[:2]
+    if B * T > max_frames:
+        videos = videos.reshape(B * T, *videos.shape[2:])[:max_frames][None]
+
+    scales, eq, bias_delta = {}, {}, {}
+
+    def record(name, params, x, out):
+        a = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
+        if equalize:
+            a = jnp.maximum(a, 1e-5 * jnp.max(a))
+            w_in = jnp.max(jnp.abs(params["weight"]), axis=(0, 1, 3))
+            w_in = jnp.maximum(w_in, 1e-5 * jnp.max(w_in))
+            e = jnp.clip(jnp.sqrt(a / w_in), 2.0 ** -6, 2.0 ** 6)
+            eq[name] = e
+            if percentile:
+                amax = jnp.percentile(jnp.abs(x / e), percentile)
+            else:
+                # per-channel max of x/e is a_c/e_c — no big intermediate
+                amax = jnp.max(a / e) * 1.1
+        else:
+            amax = (jnp.percentile(jnp.abs(x), percentile) if percentile
+                    else jnp.max(a) * 1.1)
+        scales[name] = max(float(amax), 1e-6) / 127.0
+        return out
+
+    _calib_walk(vgg_params, det_params, det_state, videos, record)
+
+    if bias_correct:
+        def correct(name, params, x, out):
+            e = eq.get(name)
+            w = params["weight"]
+            if e is not None:
+                w = w * e[None, None, :, None]
+            wq, sw = _quantize_weight(w)
+            s = scales[name]
+            m = 1.0 / s if e is None else (1.0 / s) / e
+            xq = jnp.clip(jnp.round(x * m), -127, 127).astype(jnp.int8)
+            sim = _conv_int8(xq, wq, s, sw) + params["bias"]
+            # ``out`` already includes the bias (conv2d adds it)
+            bias_delta[name] = jnp.mean(out - sim,
+                                        axis=tuple(range(out.ndim - 1)))
+            return out
+
+        _calib_walk(vgg_params, det_params, det_state, videos, correct)
+
+    return {"scales": scales, "eq": eq, "bias_delta": bias_delta}
+
+
+def _qact(h, layer):
+    aq = layer.get("aq")
+    if aq is not None:
+        # m folds 1/scale and (if calibrated with equalization) the
+        # per-input-channel divisor; s is the matching dequant scale
+        q = jnp.clip(jnp.round(h * aq["m"]), -127, 127).astype(jnp.int8)
+        return q, aq["s"]
     return _quantize_act(h)
 
 
@@ -144,7 +274,7 @@ def stem_features_int8(qstem, det_params, det_state, video):
             continue
         name = item[0]
         layer = qstem["vgg"][name]
-        xq, sx = _qact(h, qstem, name)
+        xq, sx = _qact(h, layer)
         h = _conv_int8(xq, layer["wq"], sx, layer["sw"]) + layer["bias"]
         h = jax.nn.relu(h)
 
@@ -154,7 +284,7 @@ def stem_features_int8(qstem, det_params, det_state, video):
     for b in range(1, 4):
         for c in (f"conv{b}1", f"conv{b}2"):
             layer = qstem["det"][c]
-            xq, sx = _qact(h, qstem, c)
+            xq, sx = _qact(h, layer)
             h = _conv_int8(xq, layer["wq"], sx, layer["sw"]) + layer["bias"]
         scale, shift = _bn_affine(det_state[f"bn{b}"], det_params[f"bn{b}"])
         h = jax.nn.relu(h * scale + shift)
