@@ -455,9 +455,12 @@ def run_suite(update_tail=False):
         ["--feature_cache", "true"],
         ["--mode", "eval", "--feature_cache", "true",
          "--use_pallas_kernels", "true", "--int8_trunk", "true"],
+        # 192 steps: the batch-1 line is tunnel-jitter-bound and swung
+        # 2.5-4 ms across sessions at 64 steps; a 3x longer window tightens
+        # the judged artifact (BENCH_TAIL notes, round 5)
         ["--mode", "eval", "--feature_cache", "true",
          "--use_pallas_kernels", "true", "--int8_trunk", "true",
-         "--batch_size", "1", "--steps", "64", "--warmup", "8",
+         "--batch_size", "1", "--steps", "192", "--warmup", "16",
          "--report", "ms_per_video"],
         ["--mode", "eval", "--feature_cache", "true",
          "--use_pallas_kernels", "true", "--int8_trunk", "true",

@@ -45,3 +45,10 @@ run serving_step_anatomy 1200 python scripts/serving_step_anatomy.py
 run bucketed_serving_probe 1200 python scripts/bucketed_serving_probe.py
 
 echo "all probes done -> $LOG"
+
+# 9. (round 5) int8 stem calibration feature-error + accuracy evidence:
+#    scripts/int8_stem_accuracy.py trains a 15-epoch checkpoint first (slow,
+#    ~25 min with datagen) — run when re-validating the stem quantization
+#    (e.g. after swapping in real VGG weights):
+# run int8_stem_accuracy 3600 python scripts/int8_stem_accuracy.py
+# run fp8_cache_accuracy 1800 python scripts/fp8_cache_accuracy.py
