@@ -105,11 +105,14 @@ def main(argv=None):
 
     if args.int8_stem:
         from videonavqa_tpu.stem.quant import (
-            calibrate_act_scales, quantize_stem, stem_features_int8,
+            calibrate_stem_quant, quantize_stem, stem_features_int8,
         )
 
         calib = jax.random.uniform(key, (8, 20, 160, 208, 3), jnp.float32)
-        scales = calibrate_act_scales(vgg_params, det_params, det_state, calib)
+        # the improved calibration (equalization + bias correction) — the
+        # --int8_stem_calibration default, accuracy-validated in
+        # scripts/int8_stem_accuracy.py
+        scales = calibrate_stem_quant(vgg_params, det_params, det_state, calib)
         qstem = quantize_stem(vgg_params, det_params, act_scales=scales)
 
         def stem_fn(video):
@@ -220,6 +223,8 @@ def main(argv=None):
     tag = "_fcache" if args.feature_cache else ""
     if args.feature_cache and args.feature_dtype == "float8_e4m3":
         tag = "_fcache_fp8"
+    if args.int8_stem:
+        tag += "_int8stem"
     if args.report == "ms_per_video":
         ms = dt / (n_steps * B) * 1e3
         line = {
@@ -444,6 +449,10 @@ def run_suite(update_tail=False):
       5. batch-32 serving with the fp8 feature cache (--feature_dtype
          float8_e4m3 — DEPLOYMENT.md's production storage recommendation:
          half the cache bytes + transfer, VERDICT r4 #6)
+      6. online-stem train with the int8 stem (improved calibration, round
+         5: equalization + bias correction, 100% prediction agreement on
+         the trained-checkpoint protocol — the opt-in recipe when the stem
+         dominates, PERF.md)
 
     A failure in an extra metric prints an error line but never masks the
     headline. After all lines, each metric is compared against the last
@@ -465,6 +474,7 @@ def run_suite(update_tail=False):
         ["--mode", "eval", "--feature_cache", "true",
          "--use_pallas_kernels", "true", "--int8_trunk", "true",
          "--feature_dtype", "float8_e4m3"],
+        ["--int8_stem", "true"],
     ]
     for argv in extras:
         try:
