@@ -222,7 +222,7 @@ def load_stem(args, paths: DataPaths, calibration_video=None, mesh=None):
         calib = jax.device_put(calibration_video, jax.devices()[0])
         if mode == "improved":
             scales = calibrate_stem_quant(vgg_params, det_params, det_state,
-                                          calib, percentile=None)
+                                          calib)
         else:
             scales = calibrate_act_scales(vgg_params, det_params, det_state,
                                           calib)
